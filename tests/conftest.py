@@ -1,0 +1,24 @@
+"""Test configuration: device-free CI on a virtual 8-device CPU mesh.
+
+The reference's tests all require a physical Ascend chip (SURVEY.md §4);
+running the whole suite on host CPU with forced multi-device is an upgrade:
+Pallas kernels run in interpreter mode (selected automatically by the op
+wrappers when the backend is CPU) and sharding tests get an 8-device mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
