@@ -284,7 +284,8 @@ def sparse_paged_attention_oracle(q, k_pages, v_pages, block_table,
         sl = int(seq_len[bi])
         for hq in range(h_q):
             hk = hq // g
-            hp = hk if h_pos == h_kv else hq
+            # H_pos broadcasting: 1 (shared), H_kv (per group), or H_q
+            hp = hk % h_pos if h_pos in (1, h_kv) else hq
             n = int(position_length[bi, hp])
             keys, vals = [], []
             for i in range(n):

@@ -1,0 +1,103 @@
+"""On-device smoke + microbenchmark for the paged flash-decode kernel.
+
+Correctness vs the XLA fallback at 4K context; performance at the
+reference's canonical config (fused_ifa_v5_torch_case.py:21-41):
+B=1, 32q/8kv heads, D=128, page=128, KV=128K, sparsity 1/8.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cann_ops_adv_vllm_tpu.ops.cent_select import cent_select
+from cann_ops_adv_vllm_tpu.ops.paged_attention import (
+    paged_attention_xla,
+    paged_flash_decode,
+)
+
+B, HKV, G, D, PS = 1, 8, 4, 128, 128
+HQ = HKV * G
+
+
+def make(rng, ctx, dt=jnp.bfloat16):
+    num_pages = ctx // PS + 16
+    max_page = ctx // PS
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), dt)
+    k = jnp.asarray(rng.standard_normal((HKV, num_pages, PS, D)), dt)
+    v = jnp.asarray(rng.standard_normal((HKV, num_pages, PS, D)), dt)
+    bt = jnp.asarray(
+        np.stack([rng.permutation(num_pages)[:max_page] for _ in range(B)]),
+        jnp.int32)
+    seq = jnp.full((B,), ctx, jnp.int32)
+    return q, k, v, bt, seq, max_page
+
+
+def sel(rng, max_page, n_sel):
+    positions = np.full((B, HKV, 256), 2**31 - 1, np.int32)
+    for b in range(B):
+        for h in range(HKV):
+            positions[b, h, :n_sel] = np.sort(rng.permutation(max_page)[:n_sel])
+    return jnp.asarray(positions), jnp.full((B, HKV), n_sel, jnp.int32)
+
+
+def timeit(fn, iters=20):
+    fn().block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn()
+    r.block_until_ready()
+    return (time.time() - t0) / iters * 1e3
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(0)
+
+    # --- correctness at 4K ---
+    q, k, v, bt, seq, max_page = make(rng, 4096)
+    out = paged_flash_decode(q, k, v, bt, seq, ppcb=8)
+    ref = paged_attention_xla(q, k, v, bt, seq)
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    print("4K dense  max|kernel-xla| =", float(err), flush=True)
+
+    positions, plens = sel(rng, max_page, max_page // 8)
+    out_s = paged_flash_decode(q, k, v, bt, seq, positions, plens, ppcb=8)
+    ref_s = paged_attention_xla(q, k, v, bt, seq, positions, plens)
+    err = jnp.abs(out_s.astype(jnp.float32) - ref_s.astype(jnp.float32)).max()
+    print("4K sparse max|kernel-xla| =", float(err), flush=True)
+
+    # --- perf at 128K ---
+    ctx = 128 * 1024
+    q, k, v, bt, seq, max_page = make(rng, ctx)
+    ms = timeit(lambda: paged_flash_decode(q, k, v, bt, seq, ppcb=8))
+    bytes_moved = 2 * HKV * max_page * PS * D * 2
+    print(f"128K dense decode: {ms:.3f} ms (~{bytes_moved/ms/1e6:.0f} GB/s eff)",
+          flush=True)
+
+    positions, plens = sel(rng, max_page, max_page // 8)
+    ms_s = timeit(lambda: paged_flash_decode(q, k, v, bt, seq, positions,
+                                             plens, ppcb=8))
+    print(f"128K sparse decode: {ms_s:.3f} ms (speedup {ms/ms_s:.2f}x)",
+          flush=True)
+
+    # --- fused selection + sparse attention chain ---
+    C = 512
+    cent = jnp.asarray(rng.standard_normal((HKV, C, D)), jnp.bfloat16)
+    num_pages = k.shape[1]
+    block_ids = jnp.asarray(rng.integers(0, C, (HKV, num_pages)), jnp.int32)
+
+    @jax.jit
+    def fused(q, cent, block_ids, bt, seq, k, v):
+        pos, plen, _ = cent_select(q, cent, block_ids, bt, seq, k=64,
+                                   group_mode="kv_group")
+        return paged_flash_decode(q, k, v, bt, seq, pos, plen[..., 0], ppcb=8)
+
+    ms_f = timeit(lambda: fused(q, cent, block_ids, bt, seq, k, v))
+    print(f"128K fused select+attend: {ms_f:.3f} ms "
+          f"(speedup vs dense {ms/ms_f:.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,15 +8,23 @@ wrappers when the backend is CPU) and sharding tests get an 8-device mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) force-registers itself and overrides
+# JAX_PLATFORMS; the config update below is the authoritative override.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu"
 
 
 @pytest.fixture

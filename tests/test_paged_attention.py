@@ -1,0 +1,179 @@
+"""Paged flash-decode kernel accuracy tests (interpret mode on CPU).
+
+Covers the reference's test strategy (SURVEY.md §4):
+  * golden-oracle accuracy (tests/ifa_v5_case.py analog)
+  * sentinel-value isolation — selected pages 0.1, unselected 9.9, the
+    output must show no influence of 9.9 (ifa_v5_case.py:560-583)
+  * int8 KV quantization vs the fp32 oracle within tolerance
+  * ragged batches, partial tail pages, LSE output
+"""
+
+import numpy as np
+import pytest
+
+from cann_ops_adv_vllm_tpu.config import INT32_SENTINEL
+from cann_ops_adv_vllm_tpu.ops.paged_attention import (
+    paged_attention_xla,
+    paged_flash_decode,
+)
+from cann_ops_adv_vllm_tpu.ref import oracles
+
+PS = 16   # small page size for fast interpreter-mode tests
+D = 128
+
+
+def make_case(rng, *, b=2, h_kv=2, g=4, num_pages=64, max_page=16,
+              seq=None, dtype=np.float32):
+    h_q = h_kv * g
+    q = rng.standard_normal((b, h_q, D)).astype(dtype)
+    k_pages = rng.standard_normal((h_kv, num_pages, PS, D)).astype(dtype)
+    v_pages = rng.standard_normal((h_kv, num_pages, PS, D)).astype(dtype)
+    # unique physical pages per row so oracle gather is unambiguous
+    block_table = np.stack([
+        rng.permutation(num_pages)[:max_page] for _ in range(b)
+    ]).astype(np.int32)
+    if seq is None:
+        seq = np.full((b,), max_page * PS, dtype=np.int32)
+    return q, k_pages, v_pages, block_table, np.asarray(seq, np.int32)
+
+
+class TestDense:
+    def test_full_pages_vs_oracle(self, rng):
+        q, k, v, bt, seq = make_case(rng)
+        got = np.asarray(paged_flash_decode(q, k, v, bt, seq, page_size=PS))
+        want = oracles.paged_attention_oracle(q, k, v, bt, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_ragged_and_partial_tail(self, rng):
+        q, k, v, bt, _ = make_case(rng, b=3, max_page=16)
+        seq = np.array([16 * PS, 5 * PS + 7, 1], dtype=np.int32)
+        got = np.asarray(paged_flash_decode(q, k, v, bt, seq, page_size=PS))
+        want = oracles.paged_attention_oracle(q, k, v, bt, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_lse(self, rng):
+        q, k, v, bt, seq = make_case(rng, b=1, max_page=8)
+        got, got_lse = paged_flash_decode(q, k, v, bt, seq, page_size=PS,
+                                          return_lse=True)
+        want, want_lse = oracles.paged_attention_oracle(
+            q, k, v, bt, seq, block_size=PS, return_lse=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_lse), want_lse,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_xla_fallback_matches(self, rng):
+        q, k, v, bt, _ = make_case(rng, b=2, max_page=12)
+        seq = np.array([12 * PS, 3 * PS + 5], dtype=np.int32)
+        a = np.asarray(paged_flash_decode(q, k, v, bt, seq, page_size=PS))
+        b_ = np.asarray(paged_attention_xla(q, k, v, bt, seq, page_size=PS))
+        np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-5)
+
+    def test_odd_ppcb_tail(self, rng):
+        # max_page=10 with ppcb=4 exercises the ragged final compute block
+        q, k, v, bt, seq = make_case(rng, max_page=10)
+        got = np.asarray(paged_flash_decode(q, k, v, bt, seq, page_size=PS,
+                                            ppcb=4))
+        want = oracles.paged_attention_oracle(q, k, v, bt, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def _make_positions(rng, b, h_pos, max_page, n_sel, max_blocks):
+    positions = np.full((b, h_pos, max_blocks), INT32_SENTINEL, np.int32)
+    lens = np.zeros((b, h_pos), np.int32)
+    for bi in range(b):
+        for hp in range(h_pos):
+            sel = np.sort(rng.permutation(max_page)[:n_sel])
+            positions[bi, hp, :n_sel] = sel
+            lens[bi, hp] = n_sel
+    return positions, lens
+
+
+class TestSparse:
+    @pytest.mark.parametrize("h_pos_mode", ["shared", "per_kv"])
+    def test_vs_oracle(self, rng, h_pos_mode):
+        b, h_kv, g, max_page = 2, 2, 4, 16
+        q, k, v, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                     max_page=max_page)
+        h_pos = 1 if h_pos_mode == "shared" else h_kv
+        positions, lens = _make_positions(rng, b, h_pos, max_page, 5, 8)
+        got = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, positions, lens, page_size=PS))
+        want = oracles.sparse_paged_attention_oracle(
+            q, k, v, bt, positions, lens, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_sentinel_isolation(self, rng):
+        """Reference methodology (ifa_v5_case.py:560-583): selected pages
+        hold 0.1, unselected hold 9.9; output must be ~0.1 — any influence
+        of 9.9 would pull the value mean far above 0.1."""
+        b, h_kv, g, max_page, num_pages = 1, 2, 4, 16, 64
+        h_q = h_kv * g
+        q = rng.standard_normal((b, h_q, D)).astype(np.float32)
+        bt = np.stack([rng.permutation(num_pages)[:max_page]
+                       for _ in range(b)]).astype(np.int32)
+        seq = np.full((b,), max_page * PS, dtype=np.int32)
+
+        positions, lens = _make_positions(rng, b, h_kv, max_page, 4, 8)
+        k = np.full((h_kv, num_pages, PS, D), 9.9, np.float32)
+        v = np.full((h_kv, num_pages, PS, D), 9.9, np.float32)
+        for bi in range(b):
+            for hp in range(h_kv):
+                for s in positions[bi, hp, :lens[bi, hp]]:
+                    k[hp, bt[bi, s]] = 0.1
+                    v[hp, bt[bi, s]] = 0.1
+
+        out = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, positions, lens, page_size=PS))
+        np.testing.assert_allclose(out, 0.1, rtol=1e-5, atol=1e-5)
+
+    def test_different_heads_different_positions(self, rng):
+        """Distinct per-kv-head position lists must yield distinct outputs
+        (ifa_v5_case.py asserts different heads differ)."""
+        b, h_kv, g, max_page = 1, 2, 2, 16
+        q, k, v, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                     max_page=max_page)
+        q[:] = q[:, :1]  # identical queries across heads
+        positions, lens = _make_positions(rng, b, h_kv, max_page, 3, 8)
+        assert not np.array_equal(positions[0, 0], positions[0, 1])
+        out = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, positions, lens, page_size=PS))
+        assert not np.allclose(out[0, 0], out[0, g])
+
+    def test_empty_selection_zero_fill(self, rng):
+        """Zero-length selection must produce zero output (reference
+        InitAllZeroOutput semantics, split header :879)."""
+        b, h_kv, g, max_page = 1, 2, 4, 8
+        q, k, v, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                     max_page=max_page)
+        positions = np.full((b, h_kv, 4), INT32_SENTINEL, np.int32)
+        lens = np.zeros((b, h_kv), np.int32)
+        out = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, positions, lens, page_size=PS))
+        np.testing.assert_array_equal(out, 0.0)
+
+
+class TestInt8KV:
+    def test_per_channel_quant_vs_fp32_oracle(self, rng):
+        b, h_kv, g, max_page = 2, 2, 4, 8
+        q, kf, vf, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                       max_page=max_page)
+        k_q, k_s, k_o = oracles.quantize_kv_oracle(kf, mode="per_channel")
+        v_q, v_s, v_o = oracles.quantize_kv_oracle(vf, mode="per_channel")
+        scales = (k_s.reshape(h_kv, D), k_o.reshape(h_kv, D),
+                  v_s.reshape(h_kv, D), v_o.reshape(h_kv, D))
+
+        got = np.asarray(paged_flash_decode(
+            q, k_q, v_q, bt, seq, kv_scales=scales, page_size=PS))
+
+        # oracle on the dequantized cache must match tightly
+        k_dq = oracles.dequantize_kv_oracle(k_q, k_s, k_o)
+        v_dq = oracles.dequantize_kv_oracle(v_q, v_s, v_o)
+        want_dq = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
+                                                 block_size=PS)
+        np.testing.assert_allclose(got, want_dq, rtol=2e-4, atol=2e-4)
+
+        # and the fp32 oracle within quantization tolerance
+        want_fp = oracles.paged_attention_oracle(q, kf, vf, bt, seq,
+                                                 block_size=PS)
+        err = np.abs(got - want_fp).mean()
+        assert err < 0.05, f"int8 KV mean abs error too large: {err}"
