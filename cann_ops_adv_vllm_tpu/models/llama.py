@@ -1,0 +1,255 @@
+"""Llama-class GQA decoder built on the sparse paged-attention op chain.
+
+The reference is a kernel library consumed by vLLM-Ascend; the model layer
+there lives in vLLM.  Here the framework is self-contained: a functional
+JAX Llama implementation (RMSNorm → GQA attention with paged KV cache →
+SwiGLU MLP, rotary embeddings) whose decode step calls
+:func:`..ops.fused.sparse_paged_fusion_attention` (or the dense kernel) —
+the op chain's production context.
+
+Everything is a pytree of arrays + pure functions: jit/shard_map/vmap
+compose freely, and the parallel layer (``parallel/``) adds mesh shardings
+without touching this file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MAX_PAGE_NUM, PAGE_SIZE, TOPK_FUSED
+from ..ops.cent_select import cent_select
+from ..ops.paged_attention import paged_flash_decode
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    # sparse-attention knobs (None → dense attention)
+    num_centroids: int = 0          # 0 disables centroid sparsity
+    top_k_clusters: int = TOPK_FUSED
+    page_size: int = PAGE_SIZE
+    max_page_num: int = MAX_PAGE_NUM
+    workload_cap_ratio: int = 8
+
+    @property
+    def group_size(self):
+        return self.num_heads // self.num_kv_heads
+
+
+# Reference-scale configurations (BASELINE.json configs 4 and 5).
+LLAMA_2_7B = LlamaConfig(num_layers=32, hidden_size=4096,
+                         intermediate_size=11008, num_heads=32,
+                         num_kv_heads=32)
+LLAMA_3_8B = LlamaConfig(vocab_size=128256, num_layers=32, hidden_size=4096,
+                         intermediate_size=14336, num_heads=32,
+                         num_kv_heads=8, rope_theta=500000.0)
+LLAMA_3_70B = LlamaConfig(vocab_size=128256, num_layers=80, hidden_size=8192,
+                          intermediate_size=28672, num_heads=64,
+                          num_kv_heads=8, rope_theta=500000.0)
+TINY_LLAMA = LlamaConfig(vocab_size=256, num_layers=2, hidden_size=256,
+                         intermediate_size=512, num_heads=4, num_kv_heads=2,
+                         head_dim=128, num_centroids=16, top_k_clusters=4)
+
+
+def init_params(cfg: LlamaConfig, key) -> dict:
+    """Random-initialized parameter pytree (layout mirrors HF Llama names)."""
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nq, nkv, im = cfg.num_heads, cfg.num_kv_heads, cfg.intermediate_size
+    k_emb, k_out, *k_layers = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(key, shape, scale=None):
+        scale = scale or (1.0 / (shape[0] ** 0.5))
+        return (jax.random.normal(key, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    def layer(key):
+        ks = jax.random.split(key, 8)
+        p = {
+            "wq": dense(ks[0], (h, nq * hd)),
+            "wk": dense(ks[1], (h, nkv * hd)),
+            "wv": dense(ks[2], (h, nkv * hd)),
+            "wo": dense(ks[3], (nq * hd, h)),
+            "w_gate": dense(ks[4], (h, im)),
+            "w_up": dense(ks[5], (h, im)),
+            "w_down": dense(ks[6], (im, h)),
+            "ln_attn": jnp.ones((h,), cfg.dtype),
+            "ln_mlp": jnp.ones((h,), cfg.dtype),
+        }
+        if cfg.num_centroids:
+            p["l1_cent"] = dense(ks[7], (nkv, cfg.num_centroids, hd), 1.0)
+        return p
+
+    return {
+        "embed": dense(k_emb, (cfg.vocab_size, h), 1.0),
+        "layers": [layer(k) for k in k_layers],
+        "ln_f": jnp.ones((h,), cfg.dtype),
+        "lm_head": dense(k_out, (h, cfg.vocab_size)),
+    }
+
+
+def rms_norm(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope(x, pos, theta):
+    """Rotary embedding.  x: [..., n_heads, head_dim]; pos: [...] int32."""
+    hd = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    angles = pos.astype(jnp.float32)[..., None, None] * freqs  # [..., 1, hd/2]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=None):
+    """Fused-record paged KV cache for every layer.
+
+    [num_layers, H_kv, num_pages, 2*page_size, head_dim] — K in rows
+    [:page_size], V in rows [page_size:] (the kernel's native layout).
+    """
+    dtype = dtype or cfg.dtype
+    return jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages,
+                      2 * cfg.page_size, cfg.head_dim), dtype)
+
+
+def write_kv_page_rows(kv_cache_layer, k_new, v_new, block_table, seq_pos,
+                       page_size):
+    """Scatter one decode step's K/V rows into the fused paged cache.
+
+    kv_cache_layer: [H_kv, P, 2*ps, D]; k_new/v_new: [B, H_kv, D];
+    block_table: [B, max_page]; seq_pos: [B] (position being written).
+    """
+    b = k_new.shape[0]
+    slot = seq_pos.astype(jnp.int32) // page_size
+    row = seq_pos.astype(jnp.int32) % page_size
+    pid = jnp.take_along_axis(block_table.astype(jnp.int32),
+                              slot[:, None], axis=1)[:, 0]   # [B]
+    h_idx = jnp.arange(kv_cache_layer.shape[0])[None, :]     # [1, H_kv]
+    bi = jnp.broadcast_to(h_idx, (b, h_idx.shape[1]))
+    pid_b = jnp.broadcast_to(pid[:, None], bi.shape)
+    row_k = jnp.broadcast_to(row[:, None], bi.shape)
+    cache = kv_cache_layer.at[bi, pid_b, row_k].set(k_new)
+    cache = cache.at[bi, pid_b, row_k + page_size].set(v_new)
+    return cache
+
+
+def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
+               layer_block_ids=None):
+    """Decode-step attention for one layer.  x: [B, hidden].
+
+    When ``cfg.num_centroids`` and ``layer_block_ids`` are set, centroid
+    selection runs on the same (post-RoPE) query the attention consumes —
+    matching the reference's fused kernel, where CentSelect reads the
+    query tensor handed to the attention phase
+    (sparse_paged_fusion_attention.cpp:62-68).
+    """
+    b = x.shape[0]
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pos = seq_lens.astype(jnp.int32) - 1     # current token's position
+
+    q = (x @ layer_params["wq"]).reshape(b, nq, hd)
+    k = (x @ layer_params["wk"]).reshape(b, nkv, hd)
+    v = (x @ layer_params["wv"]).reshape(b, nkv, hd)
+    q = rope(q, pos, cfg.rope_theta)
+    k = rope(k, pos, cfg.rope_theta)
+
+    kv_cache_layer = write_kv_page_rows(
+        kv_cache_layer, k, v, block_table, pos, cfg.page_size)
+
+    positions = position_lens = None
+    if cfg.num_centroids and layer_block_ids is not None:
+        positions, plen, _ = cent_select(
+            q, layer_params["l1_cent"], layer_block_ids, block_table[:b],
+            seq_lens, k=cfg.top_k_clusters, block_size=cfg.page_size,
+            max_page_num=cfg.max_page_num,
+            workload_cap_ratio=cfg.workload_cap_ratio,
+            group_mode="kv_group")
+        position_lens = plen[..., 0]
+
+    out = paged_flash_decode(
+        q, kv_cache_layer, None, block_table[:b], seq_lens,
+        positions, position_lens, page_size=cfg.page_size)
+    out = out.reshape(b, nq * hd).astype(x.dtype)
+    return out @ layer_params["wo"], kv_cache_layer
+
+
+def _mlp(p, x):
+    return (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
+
+
+def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
+                seq_lens, block_ids=None):
+    """One decode step over the whole model.
+
+    Args:
+      token_ids:   [B] int32 — current tokens (positions seq_lens-1).
+      kv_cache:    [L, H_kv, P, 2*ps, D] (updated in place functionally).
+      block_table: [B, max_page] int32.
+      seq_lens:    [B] int32 — lengths *including* the current token.
+      block_ids:   optional [L, H_kv, P] int32 cluster ids per layer for
+                   centroid sparsity (None → dense attention).
+
+    Returns (logits [B, vocab], new_kv_cache).
+    """
+    x = params["embed"][token_ids].astype(cfg.dtype)
+    new_cache = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        lbi = block_ids[li] if block_ids is not None else None
+        attn, cache_li = _attention(cfg, lp, h, kv_cache[li], block_table,
+                                    seq_lens, lbi)
+        new_cache.append(cache_li)
+        x = x + attn.astype(cfg.dtype)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + _mlp(lp, h).astype(cfg.dtype)
+
+    x = rms_norm(x, params["ln_f"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.stack(new_cache)
+
+
+def make_decode_fn(cfg: LlamaConfig):
+    """jit-compiled decode step bound to a config."""
+    @jax.jit
+    def fn(params, token_ids, kv_cache, block_table, seq_lens,
+           block_ids=None):
+        return decode_step(cfg, params, token_ids, kv_cache, block_table,
+                           seq_lens, block_ids)
+    return fn
+
+
+def prefill(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
+            block_ids=None):
+    """Naive prefill: run decode_step over positions sequentially.
+
+    Correct but O(S) kernel launches — the dedicated chunked-prefill path
+    lives in the runtime engine (runtime/engine.py); this is the reference
+    implementation used by tests.
+    """
+    b, s = token_ids.shape
+    logits = None
+    for t in range(s):
+        seq_lens = jnp.full((b,), t + 1, jnp.int32)
+        logits, kv_cache = decode_step(cfg, params, token_ids[:, t],
+                                       kv_cache, block_table, seq_lens,
+                                       block_ids)
+    return logits, kv_cache
