@@ -123,19 +123,20 @@ def rope(x, pos, theta):
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=None):
     """Fused-record paged KV cache for every layer.
 
-    [num_layers, H_kv, num_pages, 2*page_size, head_dim] — K in rows
-    [:page_size], V in rows [page_size:] (the kernel's native layout).
+    [num_layers, H_kv, num_pages, page_size, 2*head_dim] — K in lanes
+    [:head_dim], V in lanes [head_dim:] (the kernel's native
+    lane-interleaved layout; see ops.paged_attention.fuse_kv).
     """
     dtype = dtype or cfg.dtype
     return jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages,
-                      2 * cfg.page_size, cfg.head_dim), dtype)
+                      cfg.page_size, 2 * cfg.head_dim), dtype)
 
 
 def write_kv_page_rows(kv_cache_layer, k_new, v_new, block_table, seq_pos,
                        page_size):
     """Scatter one decode step's K/V rows into the fused paged cache.
 
-    kv_cache_layer: [H_kv, P, 2*ps, D]; k_new/v_new: [B, H_kv, D];
+    kv_cache_layer: [H_kv, P, ps, 2*D]; k_new/v_new: [B, H_kv, D];
     block_table: [B, max_page]; seq_pos: [B] (position being written).
     """
     b = k_new.shape[0]
@@ -147,9 +148,9 @@ def write_kv_page_rows(kv_cache_layer, k_new, v_new, block_table, seq_pos,
     bi = jnp.broadcast_to(h_idx, (b, h_idx.shape[1]))
     pid_b = jnp.broadcast_to(pid[:, None], bi.shape)
     row_k = jnp.broadcast_to(row[:, None], bi.shape)
-    cache = kv_cache_layer.at[bi, pid_b, row_k].set(k_new)
-    cache = cache.at[bi, pid_b, row_k + page_size].set(v_new)
-    return cache
+    kv_row = jnp.concatenate([k_new, v_new], axis=-1)        # [B, H, 2D]
+    return kv_cache_layer.at[bi, pid_b, row_k].set(
+        kv_row.astype(kv_cache_layer.dtype))
 
 
 def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,

