@@ -1,0 +1,70 @@
+"""Device-mesh construction and sharding specs.
+
+The reference is single-chip (SURVEY.md §2.4: no HCCL/NCCL/MPI anywhere in
+src/); every multi-chip strategy here is new, idiomatic-JAX work:
+
+* **tp** — tensor parallelism over attention heads.  The whole op chain is
+  per-KV-head (centroid codebooks, block_ids, KV pages, the kernel grid),
+  so sharding ``H_kv`` gives zero-communication attention; only the output
+  projection and MLP reductions need a ``psum`` over ICI.
+* **dp** — data parallelism over the batch (each replica owns its page
+  pool and block tables).
+* **sp** — sequence parallelism: the physical page pool is striped across
+  chips (page p lives on shard p % sp); each shard attends the selected
+  pages it owns and partial (out, LSE) results are merged with the
+  flash-decode log-sum-exp combine — the cross-chip generalization of the
+  reference's intra-chip splitKV (tiling_check.cc:680-702, split header
+  :2229-2323).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = dp * tp * sp
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(dp, tp, sp)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))
+
+
+def param_specs(num_layers: int, sparse: bool) -> dict:
+    """PartitionSpecs for the Llama parameter pytree (TP over heads)."""
+    layer = {
+        "wq": P(None, "tp"),       # columns = heads
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),       # rows = heads → psum after
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+        "ln_attn": P(None),
+        "ln_mlp": P(None),
+    }
+    if sparse:
+        layer["l1_cent"] = P("tp", None, None)   # per-KV-head codebooks
+    return {
+        "embed": P(None, None),
+        "layers": [dict(layer) for _ in range(num_layers)],
+        "ln_f": P(None),
+        "lm_head": P(None, None),
+    }
+
+
+def kv_cache_spec() -> P:
+    """[L, H_kv, P, ps, 2D]: heads over tp, page pool over sp."""
+    return P(None, "tp", "sp", None, None)
+
+
+def shard_params(params, mesh: Mesh, sparse: bool):
+    specs = param_specs(len(params["layers"]), sparse)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)))

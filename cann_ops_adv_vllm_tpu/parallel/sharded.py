@@ -1,0 +1,149 @@
+"""shard_map-wrapped multi-chip decode paths.
+
+Three composable strategies over a (dp, tp, sp) mesh (see mesh.py):
+
+* :func:`tp_decode_step` — tensor-parallel full-model decode step: heads
+  (and their codebooks, block_ids, KV pages) sharded over ``tp``; the only
+  collectives are the psums after the attention output projection and the
+  MLP down projection, riding ICI.
+* :func:`sp_sparse_attention` — sequence-parallel sparse attention: the
+  physical page pool is striped over ``sp`` (page p on shard p % sp); each
+  shard compacts the selected slots it owns (the same GatherMask-style
+  compaction as SelectPosition, reused from ops.cent_select), runs the
+  flash-decode kernel over its local pages, and partial (out, LSE) pairs
+  merge with the log-sum-exp combine — cross-chip flash-decode, the ICI
+  generalization of the reference's intra-chip splitKV
+  (CombineSplitKVRes, split header :2229-2323).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..config import INT32_SENTINEL, MASK_VALUE
+from ..models import llama
+from ..ops.cent_select import _compact_positions
+from ..ops.paged_attention import paged_flash_decode
+from .mesh import kv_cache_spec, param_specs
+
+
+def _psum_if(x, axis):
+    return jax.lax.psum(x, axis) if axis else x
+
+
+def tp_decode_step(cfg: llama.LlamaConfig, mesh):
+    """Build a tensor-parallel decode step over mesh axis "tp".
+
+    Per-shard the model is just a narrower Llama (num_heads/tp,
+    num_kv_heads/tp) — the decode code is reused unchanged except for two
+    psums, because every op in the chain is already per-KV-head.
+    """
+    tp = mesh.shape["tp"]
+    local_cfg = dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp)
+
+    pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids))
+    bids_spec = (P(None, "tp", None) if cfg.num_centroids else P())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(pspecs, P(), kv_cache_spec(), P(), P(), bids_spec),
+        out_specs=(P(), kv_cache_spec()),
+        check_vma=False,
+    )
+    def step(params, tokens, kv_cache, block_table, seq_lens, block_ids):
+        x = params["embed"][tokens].astype(local_cfg.dtype)
+        new_cache = []
+        for li, lp in enumerate(params["layers"]):
+            h = llama.rms_norm(x, lp["ln_attn"], local_cfg.rms_eps)
+            lbi = block_ids[li] if local_cfg.num_centroids else None
+            attn, cache_li = llama._attention(
+                local_cfg, lp, h, kv_cache[li], block_table, seq_lens, lbi)
+            new_cache.append(cache_li)
+            x = x + _psum_if(attn, "tp").astype(local_cfg.dtype)
+            h = llama.rms_norm(x, lp["ln_mlp"], local_cfg.rms_eps)
+            x = x + _psum_if(llama._mlp(lp, h), "tp").astype(local_cfg.dtype)
+        x = llama.rms_norm(x, params["ln_f"], local_cfg.rms_eps)
+        logits = (x @ params["lm_head"]).astype(jnp.float32)
+        return logits, jnp.stack(new_cache) if new_cache else kv_cache
+
+    def wrapped(params, tokens, kv_cache, block_table, seq_lens,
+                block_ids=None):
+        if block_ids is None:
+            block_ids = jnp.zeros((), jnp.int32)
+        return step(params, tokens, kv_cache, block_table, seq_lens,
+                    block_ids)
+
+    return jax.jit(wrapped)
+
+
+# --- sequence-parallel sparse attention -------------------------------------
+
+def _local_positions(positions, position_lens, block_table, sp_idx, sp_size):
+    """Compact the selected slots whose physical page this shard owns.
+
+    positions: [B, Hp, M] ascending logical slots (sentinel-padded);
+    block_table: [B, max_page] GLOBAL physical ids.  Page p lives on shard
+    p % sp_size at local id p // sp_size.  Returns (local_positions
+    [B, Hp, M], local_lens [B, Hp], local_table [B, max_page]).
+    """
+    b, h_pos, m = positions.shape
+    max_page = block_table.shape[1]
+    idx_valid = (jnp.arange(m, dtype=jnp.int32)[None, None, :]
+                 < position_lens[:, :, None])
+    slots = jnp.clip(positions, 0, max_page - 1)
+    pids = jnp.take_along_axis(
+        jnp.broadcast_to(block_table[:, None, :].astype(jnp.int32),
+                         (b, h_pos, max_page)), slots, axis=2)
+    mine = idx_valid & (jax.lax.rem(pids, sp_size) == sp_idx)
+    # compacted indices INTO the selected list (SelectPosition-style)
+    sel_idx = _compact_positions(mine, m)                  # [B, Hp, M]
+    valid = sel_idx != INT32_SENTINEL
+    local_slots = jnp.take_along_axis(
+        slots, jnp.where(valid, sel_idx, 0), axis=2)
+    local_slots = jnp.where(valid, local_slots, INT32_SENTINEL)
+    local_lens = jnp.sum(mine, axis=2).astype(jnp.int32)
+    local_table = block_table.astype(jnp.int32) // sp_size
+    return local_slots, local_lens, local_table
+
+
+def sp_sparse_attention(mesh, *, page_size, sm_scale=None, ppcb=8):
+    """Sequence-parallel sparse paged attention over mesh axis "sp".
+
+    kv_pages sharded on the page axis ([H_kv, P/sp, ps, 2D] per shard,
+    pages striped p → (p % sp, p // sp)); q and selection outputs
+    replicated.  Each shard attends its own pages; partial results merge
+    with the flash LSE combine (two psums over ICI).
+    """
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, "sp", None, None), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def attend(q, kv_pages, block_table, seq_lens, positions, position_lens):
+        sp_size = jax.lax.axis_size("sp")
+        sp_idx = jax.lax.axis_index("sp")
+        loc_pos, loc_len, loc_table = _local_positions(
+            positions, position_lens, block_table, sp_idx, sp_size)
+        out, lse = paged_flash_decode(
+            q, kv_pages, None, loc_table, seq_lens, loc_pos, loc_len,
+            page_size=page_size, sm_scale=sm_scale, ppcb=ppcb,
+            return_lse=True)
+        # flash-decode LSE merge across shards (reference:
+        # CombineSplitKVRes — rescale by exp(lse_i - lse_tot) and sum)
+        lse = lse.astype(jnp.float32)
+        lse_max = jax.lax.pmax(lse, "sp")
+        w = jnp.exp(lse - lse_max)
+        denom = jax.lax.psum(w, "sp")
+        out = out.astype(jnp.float32) * (w / denom)[..., None]
+        return jax.lax.psum(out, "sp").astype(q.dtype)
+
+    return attend
