@@ -73,19 +73,22 @@ def main():
     cent = jnp.asarray(rng.standard_normal((HKV, C, D)), dt)
     block_ids = jnp.asarray(rng.integers(0, C, (HKV, num_pages)), jnp.int32)
 
+    # NOTE: kv/bt/... must be explicit jit arguments — closed-over arrays
+    # are baked into the program as constants (huge compile payloads).
     @jax.jit
-    def dense_step(qq):
+    def dense_step(qq, kv, bt, seq):
         o = paged_flash_decode(qq, kv, None, bt, seq, ppcb=8)
         return qq + o * jnp.bfloat16(1e-6)
 
     @jax.jit
-    def sparse_step(qq):
+    def sparse_step(qq, kv, bt, cent, block_ids, seq):
         o, _, _ = sparse_paged_fusion_attention(
             qq, kv, bt, cent, block_ids, seq, k=512, ppcb=8)
         return qq + o * jnp.bfloat16(1e-6)
 
-    t_dense = chain_time(dense_step, q, ITERS)
-    t_sparse = chain_time(sparse_step, q, ITERS)
+    t_dense = chain_time(lambda qq: dense_step(qq, kv, bt, seq), q, ITERS)
+    t_sparse = chain_time(
+        lambda qq: sparse_step(qq, kv, bt, cent, block_ids, seq), q, ITERS)
 
     dense_tps = B / t_dense
     sparse_tps = B / t_sparse

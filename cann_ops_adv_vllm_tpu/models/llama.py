@@ -242,9 +242,8 @@ def prefill(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
             block_ids=None):
     """Naive prefill: run decode_step over positions sequentially.
 
-    Correct but O(S) kernel launches — the dedicated chunked-prefill path
-    lives in the runtime engine (runtime/engine.py); this is the reference
-    implementation used by tests.
+    Correct but O(S) kernel launches — used as the oracle for
+    :func:`prefill_chunk_step` and by small tests.
     """
     b, s = token_ids.shape
     logits = None
@@ -254,3 +253,45 @@ def prefill(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
                                        kv_cache, block_table, seq_lens,
                                        block_ids)
     return logits, kv_cache
+
+
+def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
+                       block_table, start_pos):
+    """Process a chunk of T prompt tokens through every layer at once.
+
+    Dense causal attention via ops.prefill.paged_prefill_attention (the
+    reference is decode-only; prefill sparsity is out of scope — dense
+    prefill feeds the cache the selection ops then sparsify at decode).
+
+    Args:
+      token_ids: [B, T]; start_pos: [B] — position of the chunk's first
+      token (chunks must be page-aligned or contiguous per sequence).
+
+    Returns (logits of the chunk's last token [B, vocab], new kv_cache).
+    """
+    from ..ops.prefill import paged_prefill_attention, write_prompt_chunk
+
+    b, t = token_ids.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][token_ids].astype(cfg.dtype)        # [B, T, H]
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+
+    new_cache = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q = rope((h @ lp["wq"]).reshape(b, t, nq, hd), pos, cfg.rope_theta)
+        k = rope((h @ lp["wk"]).reshape(b, t, nkv, hd), pos, cfg.rope_theta)
+        v = (h @ lp["wv"]).reshape(b, t, nkv, hd)
+        cache_li = write_prompt_chunk(kv_cache[li], k, v, block_table,
+                                      start_pos, page_size=cfg.page_size)
+        new_cache.append(cache_li)
+        attn = paged_prefill_attention(q, cache_li, block_table, start_pos,
+                                       page_size=cfg.page_size)
+        attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
+        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + _mlp(lp, h).astype(cfg.dtype)
+
+    x = rms_norm(x[:, -1], params["ln_f"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.stack(new_cache)

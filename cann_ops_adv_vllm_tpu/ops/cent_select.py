@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import INT32_SENTINEL, MAX_PAGE_NUM, PAGE_SIZE, TPL_PAD
+from ..utils import validation
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -175,6 +176,8 @@ def cent_select(q, l1_cent, block_ids, block_table, seq_len, *, k=64,
        page_position_length [B, H, TPL_PAD] int32 (workload-capped),
        max_page_position_length [B, TPL_PAD] int64 = max_h(len)·block_size)
     """
+    validation.check_selection_inputs(
+        "cent_select", q, l1_cent, block_ids, block_table, seq_len, k=k)
     if group_mode == "per_qhead":
         indices = compute_cent(q, l1_cent, k)
     elif group_mode == "kv_group":

@@ -98,6 +98,16 @@ def sparse_paged_fusion_attention(
     attn_positions = positions[:, :h_kv, :]
     attn_lens = position_lens[:, :h_kv, 0]
 
+    # the workload cap bounds attended pages at page_len/ratio ≤
+    # max_page/ratio (static) — slice the position list so the kernel grid
+    # has no permanently-inactive steps (positions beyond the per-head
+    # length are never read)
+    if workload_cap_ratio > 0:
+        cap_bound = max(block_table.shape[1] // workload_cap_ratio, 1)
+        cap_bound = ((cap_bound + ppcb - 1) // ppcb) * ppcb
+        if cap_bound < attn_positions.shape[2]:
+            attn_positions = attn_positions[:, :, :cap_bound]
+
     out = paged_flash_decode(
         q, kv_pages, None, block_table[:bsz], total_seq_len,
         attn_positions, attn_lens,

@@ -53,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MASK_VALUE, PAGE_SIZE
+from ..utils import validation
 
 
 def _cdiv(a, b):
@@ -307,8 +308,10 @@ def paged_flash_decode(
         kv_pages = fuse_kv(k_pages, v_pages)
     else:
         kv_pages = k_pages
-    h_kv, num_pages_total, ps_, two_d = kv_pages.shape
-    assert ps_ == page_size and two_d == 2 * d, (kv_pages.shape,)
+    validation.check_attention_inputs(
+        "paged_flash_decode", q, kv_pages, block_table, seq_lens,
+        page_size=page_size, quantized=kv_scales is not None)
+    h_kv, num_pages_total, _, _ = kv_pages.shape
     g = h_q // h_kv
     gp = max(g, 8)
     if sm_scale is None:

@@ -1,0 +1,125 @@
+"""Chunked prefill attention over the paged KV cache.
+
+The reference is decode-only (IFA = *incremental* flash attention); prefill
+is vLLM's job above it.  A complete engine needs both, so this module adds
+causal prefill over the same fused-record paged cache:
+
+* :func:`write_prompt_chunk` — scatter T new tokens' K/V rows into pages.
+* :func:`paged_prefill_attention` — causal attention of a T-token query
+  chunk against all cached tokens ≤ its positions, computed as an XLA
+  ``lax.scan`` over page blocks with running (m, l, acc) — flash-style
+  memory behavior without a hand kernel (prefill is MXU-bound, which XLA
+  already handles well; the decode path is where the Pallas kernel pays).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MASK_VALUE, PAGE_SIZE
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
+                       page_size=PAGE_SIZE):
+    """Scatter a chunk of K/V rows into the fused paged cache.
+
+    kv_cache_layer: [H_kv, P, ps, 2D]; k_new/v_new: [B, T, H_kv, D];
+    start_pos: [B] — position of the chunk's first token.
+    """
+    b, t, h_kv, d = k_new.shape
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+    slot = pos // page_size                                   # [B, T]
+    row = pos % page_size
+    pid = jnp.take_along_axis(block_table.astype(jnp.int32), slot, axis=1)
+
+    kv_row = jnp.concatenate([k_new, v_new], axis=-1)         # [B, T, H, 2D]
+    h_idx = jnp.arange(h_kv)[None, None, :]
+    hb = jnp.broadcast_to(h_idx, (b, t, h_kv))
+    pb = jnp.broadcast_to(pid[:, :, None], (b, t, h_kv))
+    rb = jnp.broadcast_to(row[:, :, None], (b, t, h_kv))
+    return kv_cache_layer.at[hb, pb, rb].set(
+        kv_row.astype(kv_cache_layer.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "kv_block_pages",
+                                             "sm_scale"))
+def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
+                            kv_scales=None, sm_scale=None,
+                            page_size=PAGE_SIZE, kv_block_pages=4):
+    """Causal attention of a query chunk against the paged cache.
+
+    Args:
+      q:           [B, T, H_q, D] — queries at positions start_pos + t.
+      kv_pages:    [H_kv, P, ps, 2D] fused records (the chunk's own K/V
+                   must already be written via :func:`write_prompt_chunk`).
+      block_table: [B, max_page] int32.
+      start_pos:   [B] int32.
+
+    Returns [B, T, H_q, D] in q's dtype.
+    """
+    b, t, h_q, d = q.shape
+    h_kv, num_pages, ps, _ = kv_pages.shape
+    g = h_q // h_kv
+    if sm_scale is None:
+        sm_scale = float(1.0 / (d ** 0.5))
+    max_page = block_table.shape[1]
+    n_blocks = (max_page + kv_block_pages - 1) // kv_block_pages
+    bk = kv_block_pages * page_size
+
+    qg = (q.reshape(b, t, h_kv, g, d).astype(jnp.float32)
+          .transpose(0, 2, 3, 1, 4))                      # [B,Hkv,G,T,D]
+    q_pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+
+    if kv_scales is not None:
+        k_scale, k_offset, v_scale, v_offset = (
+            s.astype(jnp.float32) for s in kv_scales)
+
+    def body(carry, blk):
+        m, l, acc = carry
+        slot0 = blk * kv_block_pages
+        slots = slot0 + jnp.arange(kv_block_pages)
+        pids = block_table[:, :].astype(jnp.int32)
+        pids = jax.lax.dynamic_slice_in_dim(pids, 0, max_page, axis=1)
+        pids = jnp.take_along_axis(
+            pids, jnp.clip(slots, 0, max_page - 1)[None, :].repeat(b, 0),
+            axis=1)                                        # [B, kbp]
+        pids = jnp.clip(pids, 0, num_pages - 1)
+        kv_blk = kv_pages[:, pids]                          # [Hkv,B,kbp,ps,2D]
+        kv_blk = kv_blk.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
+        k = kv_blk[..., :d].reshape(b, h_kv, bk, d)
+        v = kv_blk[..., d:].reshape(b, h_kv, bk, d)
+        if kv_scales is not None:
+            k = k * k_scale[None, :, None, :] + k_offset[None, :, None, :]
+            v = v * v_scale[None, :, None, :] + v_offset[None, :, None, :]
+
+        kv_pos = (slot0 * page_size
+                  + jnp.arange(bk, dtype=jnp.int32))        # [bk]
+        # causal: kv position ≤ query position
+        mask = kv_pos[None, None, :] <= q_pos[:, :, None]   # [B,T,bk]
+
+        s = jnp.einsum("bhgtd,bhkd->bhgtk", qg, k,
+                       preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(mask[:, None, None], s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask[:, None, None], p, 0.0)
+        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_next = acc * alpha + jnp.einsum(
+            "bhgtk,bhkd->bhgtd", p, v, preferred_element_type=jnp.float32)
+        return (m_next, l_next, acc_next), None
+
+    m0 = jnp.full((b, h_kv, g, t, 1), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((b, h_kv, g, t, 1), jnp.float32)
+    a0 = jnp.zeros((b, h_kv, g, t, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
+                                  jnp.arange(n_blocks))
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    out = (acc * l_inv).transpose(0, 3, 1, 2, 4).reshape(b, t, h_q, d)
+    return out.astype(q.dtype)
