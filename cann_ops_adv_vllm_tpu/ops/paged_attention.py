@@ -8,8 +8,8 @@ sparse_paged_attention_split_Bbn2s2_Us2.h).  Architectural mapping:
   split header :129-326) walk ``curSeqIdx → block_position → block_table →
   physical page``.  Here the indirection chain is resolved **ahead of the
   kernel** by a tiny XLA gather (:func:`_precompute_meta`) into flat
-  ``(page id, token count)`` arrays that are **scalar-prefetched**; the
-  kernel reads two scalars per page and issues one async DMA per page.
+  ``(page id, token begin/end)`` arrays that are **scalar-prefetched**; the
+  kernel reads a few scalars per page and issues one async DMA per page.
 * K and V of a page are stored as one lane-interleaved record
   ``[page_size, 2*head_dim]`` (:func:`fuse_kv`) so a single DMA fetches
   both — DMA-issue rate, not bandwidth, is the binding constraint at page
@@ -24,9 +24,29 @@ sparse_paged_attention_split_Bbn2s2_Us2.h).  Architectural mapping:
 * Its sentinel (0x7FFFFFFF) + fix_length=30 tail hack (:293-307) is replaced
   by clean per-token length masking.
 * Its MSD int8 antiquant residual-digit trick (:1752-1868) is replaced by
-  direct per-channel dequantization folded around the matmuls — the TPU MXU
-  takes bf16/f32 natively so int8×int8 emulation is unnecessary; int8 KV
-  still halves page-DMA bytes, which is the actual bottleneck.
+  direct dequantization folded around the matmuls — the TPU MXU takes
+  bf16/f32 natively so int8×int8 emulation is unnecessary; int8 KV still
+  halves page-DMA bytes, which is the actual bottleneck.  Per-channel
+  scales live in VMEM; per-token scales travel as one small extra DMA per
+  page (analog of the reference's per-token antiquant rows).
+
+Reference IFA misc-feature parity (SURVEY.md §2.2):
+
+* **attention mask / pse_shift** — an additive score-bias page array
+  ``[B, H_b, max_blocks, page_size]`` fed as a pipelined block input (the
+  reference loads mask/pse tiles in Vec1, pse.h).  ``api.py`` gathers the
+  user-facing ``atten_mask``/``pse_shift`` tensors into this layout.
+* **ALiBi** — computed in-kernel from per-head slopes and the prefetched
+  logical slot ids (the reference synthesizes pse from slopes in pse.h
+  rather than materializing it); exact for arbitrary selected pages.
+* **kv left padding** — ``kv_start[B]`` offsets the valid token window to
+  ``[kv_start, kv_start + seq_len)`` (ComputeKVPaddingBeginOffset analog,
+  split header :993+); realized as per-page (begin, end) scalar pairs.
+* **post-quant int8 output** — ``out_quant=(scale2, offset2)`` quantizes
+  the normalized output tile to int8 at emit time (quant_scale2/offset2,
+  incre_flash_attention_def.cpp dtype matrix rows with int8 out).
+* **empty tensors** — ``seq_len == 0`` rows emit exact zeros
+  (InitAllZeroOutput analog, split header :879).
 
 **Dense == sparse with identity positions**: the dense path passes
 ``positions[b, 0, i] = i`` so one kernel serves both IncreFlashAttention
@@ -73,12 +93,15 @@ def fuse_kv(k_pages, v_pages):
 
 
 def _precompute_meta(block_table, seq_lens, positions, position_lens,
-                     page_size, num_pages_total):
+                     page_size, num_pages_total, kv_start=None):
     """Resolve the two-level indirection ahead of the kernel.
 
-    Returns (page_ids [B,Hp,M] int32, counts [B,Hp,M] int32,
-    nblk [B,Hp] int32 clamped ≥ 1).  Invalid entries get page 0 / count 0;
-    the kernel skips their DMA and masks their tokens.
+    Returns (page_ids [B,Hp,M] int32, begins [B,Hp,M] int32,
+    ends [B,Hp,M] int32, nblk [B,Hp] int32 clamped ≥ 1).  Valid tokens of
+    page slot ``s`` are rows ``[begin, end)``; with ``kv_start`` (left
+    padding) the sequence occupies logical tokens
+    ``[kv_start, kv_start + seq_len)``.  Invalid entries get page 0 and an
+    empty window; the kernel skips their DMA and masks their tokens.
     """
     b, h_pos, max_blocks = positions.shape
     max_page = block_table.shape[1]
@@ -90,32 +113,52 @@ def _precompute_meta(block_table, seq_lens, positions, position_lens,
                          (b, h_pos, max_page)),
         jnp.where(idx_valid, slots, 0), axis=2)
     pids = jnp.clip(pids, 0, num_pages_total - 1)
-    counts = jnp.clip(
-        seq_lens[:, None, None].astype(jnp.int32) - slots * page_size,
-        0, page_size)
-    counts = jnp.where(idx_valid, counts, 0)
-    nblk = jnp.maximum(position_lens.astype(jnp.int32), 1)
-    return (pids.astype(jnp.int32), counts.astype(jnp.int32), nblk)
+    if kv_start is None:
+        start = jnp.zeros((b, 1, 1), jnp.int32)
+    else:
+        start = kv_start.astype(jnp.int32)[:, None, None]
+    begins = jnp.clip(start - slots * page_size, 0, page_size)
+    ends = jnp.clip(
+        start + seq_lens[:, None, None].astype(jnp.int32)
+        - slots * page_size, 0, page_size)
+    begins = jnp.where(idx_valid, begins, 0)
+    ends = jnp.where(idx_valid, ends, 0)
+    # clamp to the position capacity: an over-long sequence (user error —
+    # kv_start + seq_len past the block table) must not push the kernel's
+    # next-block prefetch past the metadata arrays
+    nblk = jnp.clip(position_lens.astype(jnp.int32), 1, max_blocks)
+    return (pids.astype(jnp.int32), begins.astype(jnp.int32),
+            ends.astype(jnp.int32), nblk)
 
 
 def _kernel(
     # --- scalar prefetch ---
     nblk_ref,       # [B, H_pos] int32
     pid_ref,        # [B, H_pos, M] int32
-    cnt_ref,        # [B, H_pos, M] int32
+    beg_ref,        # [B, H_pos, M] int32
+    end_ref,        # [B, H_pos, M] int32
+    slotid_ref,     # [B, H_pos, M] int32 (logical slots; alibi only) or None
+    qpos_ref,       # [B] int32 (query logical position; alibi only) or None
     # --- inputs ---
     q_ref,          # [1, 1, Gp, D] VMEM
     kv_pages_ref,   # [H_kv, P, ps, 2*D] ANY (HBM) — lane-interleaved K|V
-    k_scale_ref,    # [H_kv, D] VMEM (full array; indexed by kv head)
+    k_scale_ref,    # [H_kv, D] VMEM (per-channel quant; zeros otherwise)
     k_offset_ref,
     v_scale_ref,
     v_offset_ref,
+    tok_scale_ref,  # [H_kv, P, 4, ps] ANY (per-token quant) or None
+    bias_ref,       # [1, 1, 1, ppcb, ps] VMEM (score bias) or None
+    slopes_ref,     # [H_kv, Gp, 128] VMEM f32 (alibi) or None
+    oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
+    oq_off_ref,
     # --- outputs ---
     o_ref,          # [1, 1, Gp, D] VMEM
     lse_ref,        # [1, 1, Gp, 128] VMEM (fp32) or None
     # --- scratch ---
     kv_buf,         # [2, ppcb*ps, 2*D] VMEM, kv dtype
     sem,            # DMA sems [2, ppcb]
+    ts_buf,         # [2, ppcb, 4, ps] VMEM f32 (per-token scales) or None
+    ts_sem,         # DMA sems [2, ppcb] or None
     m_scr,          # [Gp, 128] f32
     l_scr,          # [Gp, 128] f32
     acc_scr,        # [Gp, D] f32
@@ -128,6 +171,7 @@ def _kernel(
     h_kv: int,
     h_pos: int,
     quantized: bool,
+    token_quant: bool,
 ):
     b = pl.program_id(0)
     hk = pl.program_id(1)
@@ -142,14 +186,24 @@ def _kernel(
         copies = []
         for j in range(ppcb):
             idx = ii * ppcb + j
+            cond = end_ref[bb, hp, idx] > beg_ref[bb, hp, idx]
             copies.append((
-                cnt_ref[bb, hp, idx] > 0,
+                cond,
                 pltpu.make_async_copy(
                     kv_pages_ref.at[hh, pid_ref[bb, hp, idx]],
                     kv_buf.at[slot, pl.ds(j * page_size, page_size), :],
                     sem.at[slot, j],
                 ),
             ))
+            if token_quant:
+                copies.append((
+                    cond,
+                    pltpu.make_async_copy(
+                        tok_scale_ref.at[hh, pid_ref[bb, hp, idx]],
+                        ts_buf.at[slot, j],
+                        ts_sem.at[slot, j],
+                    ),
+                ))
         return copies
 
     def start_block(bb, hh, ii, slot):
@@ -200,16 +254,23 @@ def _kernel(
         hp = hp_of(hk)
         d = acc_scr.shape[-1]
 
-        # --- token validity masks from prefetched counts ---
+        # --- token validity masks from prefetched (begin, end) windows ---
         tok_c = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
         tok_r = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
         col_valid = jnp.zeros((1, bk), dtype=jnp.bool_)
         row_valid = jnp.zeros((bk, 1), dtype=jnp.bool_)
+        pos_c = tok_c if slopes_ref is not None else None
         for j in range(ppcb):
-            cnt = cnt_ref[b, hp, i * ppcb + j]
+            beg = beg_ref[b, hp, i * ppcb + j]
+            end = end_ref[b, hp, i * ppcb + j]
             lo = j * page_size
-            col_valid = col_valid | ((tok_c >= lo) & (tok_c < lo + cnt))
-            row_valid = row_valid | ((tok_r >= lo) & (tok_r < lo + cnt))
+            in_c = (tok_c >= lo + beg) & (tok_c < lo + end)
+            col_valid = col_valid | in_c
+            row_valid = row_valid | ((tok_r >= lo + beg) & (tok_r < lo + end))
+            if slopes_ref is not None:
+                # logical token position = slot*page_size + (tok - lo)
+                shift = slotid_ref[b, hp, i * ppcb + j] * page_size - lo
+                pos_c = jnp.where(in_c, pos_c + shift, pos_c)
 
         q = q_ref[0, 0].astype(jnp.float32)                    # [Gp, D]
         kvb = kv_buf[slot]                                     # [bk, 2D]
@@ -219,16 +280,51 @@ def _kernel(
         # so 0-weight × garbage can't poison the matmuls
         k = jnp.where(row_valid, k, 0.0)
         v = jnp.where(row_valid, v, 0.0)
-        if quantized:
-            k = (k * k_scale_ref[pl.ds(hk, 1), :]
-                 + k_offset_ref[pl.ds(hk, 1), :])
-            v = (v * v_scale_ref[pl.ds(hk, 1), :]
-                 + v_offset_ref[pl.ds(hk, 1), :])
+        if quantized and not token_quant:
+            k = jnp.where(
+                row_valid,
+                k * k_scale_ref[pl.ds(hk, 1), :]
+                + k_offset_ref[pl.ds(hk, 1), :], 0.0)
+            v = jnp.where(
+                row_valid,
+                v * v_scale_ref[pl.ds(hk, 1), :]
+                + v_offset_ref[pl.ds(hk, 1), :], 0.0)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                                            # [Gp, bk]
+        )                                                       # [Gp, bk]
+        # Per-token dequant and score bias act on per-page column segments
+        # ([1, page_size] row vectors — lane-aligned, no relayout).  The
+        # per-token antiquant identity q·(k_q·s + o)ᵀ = (q·k_qᵀ)·s_col +
+        # (Σ_d q)·o_col moves the scales behind the matmul (the TPU analog
+        # of the reference's MSD recombination, split header :1752-1868).
+        if token_quant or bias_ref is not None:
+            tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+            if token_quant:
+                qsum = jnp.sum(q, axis=1, keepdims=True)        # [Gp, 1]
+            segs = []
+            for j in range(ppcb):
+                seg = s[:, j * page_size:(j + 1) * page_size]
+                if token_quant:
+                    # skipped-DMA pages hold garbage scales (NaN/inf):
+                    # neutralize them so 0-weight columns stay finite
+                    sv = ((tok_s >= beg_ref[b, hp, i * ppcb + j])
+                          & (tok_s < end_ref[b, hp, i * ppcb + j]))
+                    ks = jnp.where(sv, ts_buf[slot, j, 0:1, :], 1.0)
+                    ko = jnp.where(sv, ts_buf[slot, j, 1:2, :], 0.0)
+                    seg = seg * ks + qsum * ko
+                seg = seg * sm_scale
+                if bias_ref is not None:
+                    seg = seg + bias_ref[0, 0, 0, j:j + 1, :]
+                segs.append(seg)
+            s = jnp.concatenate(segs, axis=1)
+        else:
+            s = s * sm_scale
+        if slopes_ref is not None:
+            dist = (pos_c - qpos_ref[b]).astype(jnp.float32)    # [1, bk]
+            s = s + slopes_ref[hk, :, :1] * dist
+        s = jnp.maximum(s, MASK_VALUE)
         s = jnp.where(col_valid, s, MASK_VALUE)
 
         # --- online softmax update (FlashSoftmax-V2 analog) ---
@@ -243,10 +339,29 @@ def _kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
-        o_curr = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if token_quant:
+            # p·(v_q·s + o) = (p·s_col)·v_q + (Σ_t p_t·o_t) — the offset
+            # term broadcasts over the head dim
+            tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+            p_segs, vo_acc = [], jnp.zeros((p.shape[0], 1), jnp.float32)
+            for j in range(ppcb):
+                sv = ((tok_s >= beg_ref[b, hp, i * ppcb + j])
+                      & (tok_s < end_ref[b, hp, i * ppcb + j]))
+                vs = jnp.where(sv, ts_buf[slot, j, 2:3, :], 0.0)
+                vo = jnp.where(sv, ts_buf[slot, j, 3:4, :], 0.0)
+                pseg = p[:, j * page_size:(j + 1) * page_size]
+                p_segs.append(pseg * vs)
+                vo_acc = vo_acc + jnp.sum(pseg * vo, axis=1, keepdims=True)
+            o_curr = jax.lax.dot_general(
+                jnp.concatenate(p_segs, axis=1), v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + vo_acc
+        else:
+            o_curr = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[...] = acc_scr[...] * alpha + o_curr
 
         # --- final block for this (b, hk): normalize and emit ---
@@ -254,7 +369,12 @@ def _kernel(
         def _():
             l = l_scr[:, :1]
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            o = acc_scr[...] * l_inv
+            if oq_scale_ref is not None:
+                # post-quant int8 out: y = round(x*scale2 + offset2)
+                o = jnp.round(o * oq_scale_ref[hk] + oq_off_ref[hk])
+                o = jnp.clip(o, -128.0, 127.0)
+            o_ref[0, 0] = o.astype(o_ref.dtype)
             if lse_ref is not None:
                 lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
                 lse = jnp.where(l == 0.0, MASK_VALUE, lse)
@@ -276,6 +396,10 @@ def paged_flash_decode(
     position_lens=None,
     *,
     kv_scales=None,
+    kv_start=None,
+    bias_pages=None,
+    alibi_slopes=None,
+    out_quant=None,
     sm_scale=None,
     page_size=PAGE_SIZE,
     ppcb=8,
@@ -285,7 +409,7 @@ def paged_flash_decode(
     """Flash-decode paged attention over (optionally) selected pages.
 
     Dense (IncreFlashAttention parity): omit ``positions`` — every logical
-    page up to ``ceil(seq_len/page_size)`` is attended.
+    page up to ``ceil((kv_start + seq_len)/page_size)`` is attended.
 
     Sparse (SparsePagedAttention parity): pass ``positions``
     [B, H_pos, max_blocks] int32 (ascending logical slots, from
@@ -298,10 +422,24 @@ def paged_flash_decode(
     runtime cache layout; zero-copy).
 
     Quantized KV: int8 pages plus ``kv_scales=(k_scale, k_offset, v_scale,
-    v_offset)`` each [H_kv, D] (per-channel antiquant, reference dequant
-    convention ``x*scale + offset``).
+    v_offset)``, either per-channel ([H_kv, D] each; reference antiquant
+    convention ``x*scale + offset``) or per-token ([H_kv, P, page_size]
+    each — one scalar per cached row, reference per-token antiquant mode).
 
-    Returns [B, H_q, D] in q's dtype (and optionally LSE [B, H_q] fp32).
+    Optional IFA misc features:
+      kv_start:      [B] int32 — kv-left-padding: valid tokens occupy
+                     logical positions [kv_start, kv_start + seq_len).
+      bias_pages:    [B, H_b, max_blocks, page_size] f32 additive score
+                     bias (materialized atten_mask / pse_shift; H_b ∈ {1,
+                     H_kv}; entry (b, h, i, t) biases the token at selected
+                     slot index i, row t).  See api.make_bias_pages.
+      alibi_slopes:  [H_q] f32 — in-kernel ALiBi: adds
+                     slope·(token_pos − query_pos) to the scores.
+      out_quant:     (scale2, offset2) each [H_q, D] (or scalar) → output
+                     is int8: round(out·scale2 + offset2).
+
+    Returns [B, H_q, D] in q's dtype (int8 with ``out_quant``), and
+    optionally LSE [B, H_q] fp32.
     """
     b, h_q, d = q.shape
     if v_pages is not None:
@@ -323,15 +461,19 @@ def paged_flash_decode(
         positions = jnp.broadcast_to(
             jnp.arange(max_blocks, dtype=jnp.int32)[None, None, :],
             (b, 1, max_blocks))
-        page_len = (seq_lens.astype(jnp.int32) + page_size - 1) // page_size
+        total = seq_lens.astype(jnp.int32)
+        if kv_start is not None:
+            total = total + kv_start.astype(jnp.int32)
+        page_len = (total + page_size - 1) // page_size
         position_lens = page_len[:, None]
     else:
         max_blocks = positions.shape[2]
     h_pos = positions.shape[1]
 
-    pids, counts, nblk = _precompute_meta(
+    pids, begs, ends, nblk = _precompute_meta(
         block_table, seq_lens, positions.astype(jnp.int32),
-        position_lens.astype(jnp.int32), page_size, num_pages_total)
+        position_lens.astype(jnp.int32), page_size, num_pages_total,
+        kv_start=kv_start)
 
     # pad the block axis to a multiple of ppcb so the kernel's tail
     # compute-block never indexes past the metadata arrays
@@ -339,7 +481,8 @@ def paged_flash_decode(
     if m_pad != max_blocks:
         pad = ((0, 0), (0, 0), (0, m_pad - max_blocks))
         pids = jnp.pad(pids, pad)
-        counts = jnp.pad(counts, pad)
+        begs = jnp.pad(begs, pad)
+        ends = jnp.pad(ends, pad)
 
     # pad the group dim to the fp32 sublane minimum (8)
     qg = q.reshape(b, h_kv, g, d)
@@ -347,17 +490,82 @@ def paged_flash_decode(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
     quantized = kv_scales is not None
-    if quantized:
+    token_quant = quantized and kv_scales[0].ndim == 3
+    zeros = jnp.zeros((h_kv, d), jnp.float32)
+    if quantized and not token_quant:
         k_scale, k_offset, v_scale, v_offset = (
             s.astype(jnp.float32) for s in kv_scales)
     else:
-        zeros = jnp.zeros((h_kv, d), jnp.float32)
         k_scale = k_offset = v_scale = v_offset = zeros
+    if token_quant:
+        # [H_kv, P, ps] × 4 → [H_kv, P, 4, ps]: one extra DMA per page
+        tok_scales = jnp.stack(
+            [s.astype(jnp.float32) for s in kv_scales], axis=2)
+    else:
+        tok_scales = None
+
+    use_alibi = alibi_slopes is not None
+    if use_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(h_kv, g)
+        if gp != g:
+            slopes = jnp.pad(slopes, ((0, 0), (0, gp - g)))
+        slopes = jnp.broadcast_to(slopes[:, :, None], (h_kv, gp, 128))
+        slot_pad = jnp.pad(
+            jnp.clip(positions, 0, max_page - 1).astype(jnp.int32),
+            ((0, 0), (0, 0), (0, m_pad - max_blocks))) \
+            if m_pad != max_blocks else \
+            jnp.clip(positions, 0, max_page - 1).astype(jnp.int32)
+        qpos = seq_lens.astype(jnp.int32) - 1
+        if kv_start is not None:
+            qpos = qpos + kv_start.astype(jnp.int32)
+    else:
+        slopes = None
+        slot_pad = None
+        qpos = None
+
+    has_bias = bias_pages is not None
+    if has_bias:
+        h_b = bias_pages.shape[1]
+        if h_b not in (1, h_kv):
+            raise ValueError(
+                f"paged_flash_decode: bias_pages head axis must be 1 "
+                f"(shared) or num_kv_heads={h_kv}, got {h_b}")
+        if bias_pages.shape[2] < max_blocks:
+            raise ValueError(
+                f"paged_flash_decode: bias_pages covers "
+                f"{bias_pages.shape[2]} page slots < max_blocks="
+                f"{max_blocks}")
+        bias = bias_pages.astype(jnp.float32)
+        if bias.shape[2] != m_pad:
+            bias = jnp.pad(
+                bias, ((0, 0), (0, 0), (0, m_pad - bias.shape[2]), (0, 0)))
+        # one tile per compute block: [B, H_b, m_pad/ppcb, ppcb, ps]
+        bias = bias.reshape(b, h_b, m_pad // ppcb, ppcb, page_size)
+    else:
+        h_b = 1
+        bias = None
+
+    out_quantized = out_quant is not None
+    if out_quantized:
+        oq_scale = jnp.broadcast_to(
+            jnp.asarray(out_quant[0], jnp.float32), (h_q, d)
+        ).reshape(h_kv, g, d)
+        oq_off = jnp.broadcast_to(
+            jnp.asarray(out_quant[1], jnp.float32), (h_q, d)
+        ).reshape(h_kv, g, d)
+        if gp != g:
+            pad_g = ((0, 0), (0, gp - g), (0, 0))
+            oq_scale = jnp.pad(oq_scale, pad_g)
+            oq_off = jnp.pad(oq_off, pad_g)
+        out_dtype = jnp.int8
+    else:
+        oq_scale = oq_off = None
+        out_dtype = q.dtype
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    grid = (b, h_kv, _cdiv(max_blocks, ppcb))
+    grid = (b, h_kv, m_pad // ppcb)
 
     def head_spec(width):
         return pl.BlockSpec((1, 1, gp, width),
@@ -372,47 +580,98 @@ def paged_flash_decode(
         h_kv=h_kv,
         h_pos=h_pos,
         quantized=quantized,
+        token_quant=token_quant,
     )
 
-    out_shapes = [jax.ShapeDtypeStruct((b, h_kv, gp, d), q.dtype)]
+    # --- assemble the (feature-dependent) operand lists ---
+    scalar_ops = [nblk, pids, begs, ends]
+    if use_alibi:
+        scalar_ops += [slot_pad, qpos]
+    n_scalar = len(scalar_ops)
+
+    in_ops = [qg, kv_pages, k_scale, k_offset, v_scale, v_offset]
+    in_specs = [
+        head_spec(d),                               # q
+        pl.BlockSpec(memory_space=pl.ANY),          # kv_pages (HBM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # k_scale
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # k_offset
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # v_scale
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # v_offset
+    ]
+    if token_quant:
+        in_ops.append(tok_scales)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if has_bias:
+        in_ops.append(bias)
+        if h_b == 1:
+            bias_idx = lambda bb, hh, ii, *refs: (bb, 0, ii, 0, 0)
+        else:
+            bias_idx = lambda bb, hh, ii, *refs: (
+                bb, jax.lax.rem(hh, h_b), ii, 0, 0)
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, ppcb, page_size), bias_idx))
+    if use_alibi:
+        in_ops.append(slopes)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if out_quantized:
+        in_ops += [oq_scale, oq_off]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    out_shapes = [jax.ShapeDtypeStruct((b, h_kv, gp, d), out_dtype)]
     out_specs = [head_spec(d)]
     if return_lse:
         out_shapes.append(jax.ShapeDtypeStruct((b, h_kv, gp, 128),
                                                jnp.float32))
         out_specs.append(head_spec(128))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=grid,
-        in_specs=[
-            head_spec(d),                               # q
-            pl.BlockSpec(memory_space=pl.ANY),          # kv_pages (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # k_scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # k_offset
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # v_scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # v_offset
-        ],
-        out_specs=out_specs if return_lse else out_specs[0],
-        scratch_shapes=[
-            pltpu.VMEM((2, ppcb * page_size, 2 * d), kv_pages.dtype),
+    scratch_shapes = [
+        pltpu.VMEM((2, ppcb * page_size, 2 * d), kv_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, ppcb)),
+    ]
+    if token_quant:
+        scratch_shapes += [
+            pltpu.VMEM((2, ppcb, 4, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, ppcb)),
-            pltpu.VMEM((gp, 128), jnp.float32),
-            pltpu.VMEM((gp, 128), jnp.float32),
-            pltpu.VMEM((gp, d), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        ]
+    scratch_shapes += [
+        pltpu.VMEM((gp, 128), jnp.float32),
+        pltpu.VMEM((gp, 128), jnp.float32),
+        pltpu.VMEM((gp, d), jnp.float32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_scalar,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if return_lse else out_specs[0],
+        scratch_shapes=scratch_shapes,
     )
 
     def wrapped_kernel(*args):
-        if return_lse:
-            (nblk_r, pid_r, cnt_r, q_r, kv_r, ks_r, ko_r, vs_r, vo_r,
-             o_r, lse_r, *scratch) = args
-        else:
-            (nblk_r, pid_r, cnt_r, q_r, kv_r, ks_r, ko_r, vs_r, vo_r,
-             o_r, *scratch) = args
-            lse_r = None
-        kernel(nblk_r, pid_r, cnt_r, q_r, kv_r, ks_r, ko_r, vs_r, vo_r,
-               o_r, lse_r, *scratch)
+        args = list(args)
+
+        def take(n):
+            vals = args[:n]
+            del args[:n]
+            return vals
+
+        nblk_r, pid_r, beg_r, end_r = take(4)
+        slotid_r, qpos_r = take(2) if use_alibi else (None, None)
+        q_r, kv_r, ks_r, ko_r, vs_r, vo_r = take(6)
+        (ts_r,) = take(1) if token_quant else (None,)
+        (bias_r,) = take(1) if has_bias else (None,)
+        (slopes_r,) = take(1) if use_alibi else (None,)
+        oqs_r, oqo_r = take(2) if out_quantized else (None, None)
+        o_r = take(1)[0]
+        lse_r = take(1)[0] if return_lse else None
+        kvb_r, sem_r = take(2)
+        tsb_r, tss_r = take(2) if token_quant else (None, None)
+        m_r, l_r, acc_r, sl_r = take(4)
+        kernel(nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
+               q_r, kv_r, ks_r, ko_r, vs_r, vo_r, ts_r, bias_r, slopes_r,
+               oqs_r, oqo_r, o_r, lse_r,
+               kvb_r, sem_r, tsb_r, tss_r, m_r, l_r, acc_r, sl_r)
 
     result = pl.pallas_call(
         wrapped_kernel,
@@ -422,11 +681,7 @@ def paged_flash_decode(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(
-        nblk, pids, counts,
-        qg, kv_pages,
-        k_scale, k_offset, v_scale, v_offset,
-    )
+    )(*scalar_ops, *in_ops)
 
     if return_lse:
         out, lse = result
@@ -438,10 +693,13 @@ def paged_flash_decode(
 
 def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
                         positions=None, position_lens=None, *,
-                        kv_scales=None, sm_scale=None, page_size=PAGE_SIZE):
+                        kv_scales=None, kv_start=None, bias_pages=None,
+                        alibi_slopes=None, out_quant=None,
+                        sm_scale=None, page_size=PAGE_SIZE):
     """Pure-XLA fallback implementation (gather + masked softmax).
 
-    Semantically identical to :func:`paged_flash_decode`; used for
+    Semantically identical to :func:`paged_flash_decode` (including the
+    optional mask/pse/alibi/padding/quant features); used for
     cross-checking the kernel on-device and as the non-Pallas baseline in
     benchmarks.  Materializes the gathered KV — O(B·H·S·D) memory.
     """
@@ -457,7 +715,10 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
         positions = jnp.broadcast_to(
             jnp.arange(max_blocks, dtype=jnp.int32)[None, None, :],
             (b, 1, max_blocks))
-        page_len = (seq_lens.astype(jnp.int32) + page_size - 1) // page_size
+        total = seq_lens.astype(jnp.int32)
+        if kv_start is not None:
+            total = total + kv_start.astype(jnp.int32)
+        page_len = (total + page_size - 1) // page_size
         position_lens = page_len[:, None]
     else:
         max_blocks = positions.shape[2]
@@ -465,11 +726,17 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
 
     kq = k_pages.astype(jnp.float32)
     vq = v_pages.astype(jnp.float32)
-    if kv_scales is not None:
+    token_quant = kv_scales is not None and kv_scales[0].ndim == 3
+    if kv_scales is not None and not token_quant:
         k_scale, k_offset, v_scale, v_offset = (
             s.astype(jnp.float32) for s in kv_scales)
         kq = kq * k_scale[:, None, None, :] + k_offset[:, None, None, :]
         vq = vq * v_scale[:, None, None, :] + v_offset[:, None, None, :]
+    elif token_quant:
+        k_scale, k_offset, v_scale, v_offset = (
+            s.astype(jnp.float32)[..., None] for s in kv_scales)
+        kq = kq * k_scale + k_offset
+        vq = vq * v_scale + v_offset
 
     idx_valid = (jnp.arange(max_blocks)[None, None, :]
                  < position_lens[:, :, None])                       # [B,Hp,M]
@@ -481,9 +748,13 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
 
     # token validity per slot: [B, Hp, M, ps]
     tok = jnp.arange(ps)[None, None, None, :]
-    count = jnp.clip(seq_lens[:, None, None].astype(jnp.int32)
-                     - slots * page_size, 0, page_size)
-    tok_valid = idx_valid[..., None] & (tok < count[..., None])
+    start = (jnp.zeros((b,), jnp.int32) if kv_start is None
+             else kv_start.astype(jnp.int32))[:, None, None]
+    beg = jnp.clip(start - slots * page_size, 0, page_size)
+    end = jnp.clip(start + seq_lens[:, None, None].astype(jnp.int32)
+                   - slots * page_size, 0, page_size)
+    tok_valid = idx_valid[..., None] & (tok >= beg[..., None]) \
+        & (tok < end[..., None])
 
     def gather(pages):                                              # [Hkv,P,ps,D]
         hk_of = jnp.arange(h_kv)
@@ -499,6 +770,18 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
     qg = q.reshape(b, h_kv, g, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhmpd->bhgmp", qg, keys,
                    preferred_element_type=jnp.float32) * sm_scale
+    if bias_pages is not None:
+        h_b = bias_pages.shape[1]
+        bias = bias_pages.astype(jnp.float32)[:, jnp.arange(h_kv) % h_b]
+        s = s + bias[:, :, None]                                    # [B,Hkv,1,M,ps]
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(h_kv, g)
+        pos = slots[:, hp_of, :, None] * page_size + tok             # [B,Hkv,M,ps]
+        qpos = (seq_lens.astype(jnp.int32) - 1
+                + (0 if kv_start is None else kv_start.astype(jnp.int32)))
+        dist = (pos - qpos[:, None, None, None]).astype(jnp.float32)
+        s = s + slopes[None, :, :, None, None] * dist[:, :, None]
+    s = jnp.maximum(s, MASK_VALUE)
     s = jnp.where(tv[:, :, None], s, MASK_VALUE)
     s = s.reshape(b, h_kv, g, -1)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -509,4 +792,12 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
     out = jnp.einsum("bhgm,bhmd->bhgd", w,
                      vals.reshape(b, h_kv, -1, d),
                      preferred_element_type=jnp.float32)
-    return out.reshape(b, h_q, d).astype(q.dtype)
+    out = out.reshape(b, h_q, d)
+    if out_quant is not None:
+        oq_scale = jnp.broadcast_to(
+            jnp.asarray(out_quant[0], jnp.float32), (h_q, d))
+        oq_off = jnp.broadcast_to(
+            jnp.asarray(out_quant[1], jnp.float32), (h_q, d))
+        return jnp.clip(jnp.round(out * oq_scale + oq_off),
+                        -128.0, 127.0).astype(jnp.int8)
+    return out.astype(q.dtype)

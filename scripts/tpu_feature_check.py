@@ -1,0 +1,93 @@
+"""On-device check of the IFA misc-feature kernel paths (run on real TPU).
+
+Exercises bias pages (mask), per-kv-head bias, ALiBi + kv-left-padding,
+post-quant int8 out, per-token antiquant, and empty-sequence zero-fill
+against the XLA fallback.  Complements the CPU interpret-mode tests in
+tests/test_ifa_features.py.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+print("backend:", jax.default_backend(), jax.devices())
+from cann_ops_adv_vllm_tpu.ops.paged_attention import (  # noqa: E402
+    fuse_kv, paged_attention_xla, paged_flash_decode)
+from cann_ops_adv_vllm_tpu.ops.quant import quantize_kv  # noqa: E402
+from cann_ops_adv_vllm_tpu.config import MASK_VALUE  # noqa: E402
+
+rng = np.random.default_rng(0)
+b, h_kv, g, d, ps, P, mp = 2, 2, 4, 128, 128, 64, 16
+h_q = h_kv * g
+q = jnp.asarray(rng.standard_normal((b, h_q, d)), jnp.float32)
+k = jnp.asarray(rng.standard_normal((h_kv, P, ps, d)), jnp.float32)
+v = jnp.asarray(rng.standard_normal((h_kv, P, ps, d)), jnp.float32)
+bt = jnp.asarray(rng.permutation(P)[:b * mp].reshape(b, mp), jnp.int32)
+sl = jnp.asarray(rng.integers(ps, mp * ps, b), jnp.int32)
+kv = fuse_kv(k, v)
+fails = []
+
+
+def check(name, err, tol=2e-3):
+    print(f"{name}: max err {err:.2e}")
+    if not (err < tol):
+        fails.append(name)
+
+
+bias = jnp.where(jnp.asarray(rng.random((b, 1, mp, ps)) < 0.3),
+                 MASK_VALUE, 0.).astype(jnp.float32)
+got = paged_flash_decode(q, kv, None, bt, sl, bias_pages=bias,
+                         page_size=ps, interpret=False)
+want = paged_attention_xla(q, k, v, bt, sl, bias_pages=bias, page_size=ps)
+check("mask", float(jnp.abs(got - want).max()))
+
+bias2 = jnp.asarray(rng.standard_normal((b, h_kv, mp, ps)) * 0.4, jnp.float32)
+got = paged_flash_decode(q, kv, None, bt, sl, bias_pages=bias2,
+                         page_size=ps, interpret=False)
+want = paged_attention_xla(q, k, v, bt, sl, bias_pages=bias2, page_size=ps)
+check("per-head bias", float(jnp.abs(got - want).max()))
+
+slopes = jnp.asarray(np.linspace(0.01, 0.2, h_q), jnp.float32)
+st = jnp.asarray(rng.integers(0, 2 * ps, b), jnp.int32)
+got = paged_flash_decode(q, kv, None, bt, sl, kv_start=st,
+                         alibi_slopes=slopes, page_size=ps, interpret=False)
+want = paged_attention_xla(q, k, v, bt, sl, kv_start=st,
+                           alibi_slopes=slopes, page_size=ps)
+# large alibi biases concentrate the softmax, amplifying the MXU's
+# bf16-pass f32 rounding relative to the XLA gather path
+check("alibi+pad", float(jnp.abs(got - want).max()), tol=2e-2)
+
+s2 = jnp.full((h_q, d), 30.0, jnp.float32)
+o2 = jnp.zeros((h_q, d), jnp.float32)
+got = paged_flash_decode(q, kv, None, bt, sl, out_quant=(s2, o2),
+                         page_size=ps, interpret=False)
+want = paged_attention_xla(q, k, v, bt, sl, out_quant=(s2, o2), page_size=ps)
+di = int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max())
+print("int8 out dtype:", got.dtype, "max |diff|:", di)
+if got.dtype != jnp.int8 or di > 1:
+    fails.append("int8 out")
+
+kq, ks, ko = quantize_kv(k, mode="per_token")
+vq, vs, vo = quantize_kv(v, mode="per_token")
+got = paged_flash_decode(q, fuse_kv(kq, vq), None, bt, sl,
+                         kv_scales=(ks, ko, vs, vo), page_size=ps,
+                         interpret=False)
+want = paged_attention_xla(q, kq, vq, bt, sl, kv_scales=(ks, ko, vs, vo),
+                           page_size=ps)
+check("per-token quant", float(jnp.abs(got - want).max()))
+
+got = paged_flash_decode(q, kv, None, bt, sl.at[0].set(0),
+                         page_size=ps, interpret=False)
+ok = bool(jnp.all(got[0] == 0)) and bool(jnp.all(jnp.isfinite(got)))
+print("empty zero-fill:", ok)
+if not ok:
+    fails.append("empty")
+
+if fails:
+    print("FAILED:", fails)
+    sys.exit(1)
+print("TPU OK")
