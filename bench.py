@@ -43,14 +43,20 @@ CTX = 32 * 1024 if QUICK else 128 * 1024
 ITERS = 10 if QUICK else 30
 
 
-def chain_time(step, q, n):
-    qq = step(q)
-    _ = np.asarray(qq)                       # warm-up + force compile
+def chain_time(step, q, args, n):
+    """Single-dispatch dependency chain: the n steps run inside one jit
+    (lax.fori_loop), so per-call host→device dispatch latency (several ms
+    through the axon tunnel) is amortized across the chain instead of
+    added to every step.  ``args`` are jit operands, not closures."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(qq, args, n):
+        return jax.lax.fori_loop(0, n, lambda i, acc: step(acc, *args), qq)
+
+    _ = np.asarray(chain(q, args, n))        # compile + warm
     t0 = time.time()
-    qq = q
-    for _ in range(n):
-        qq = step(qq)
-    _ = np.asarray(qq)
+    _ = np.asarray(chain(q, args, n))
     return (time.time() - t0) / n
 
 
@@ -75,20 +81,18 @@ def main():
 
     # NOTE: kv/bt/... must be explicit jit arguments — closed-over arrays
     # are baked into the program as constants (huge compile payloads).
-    @jax.jit
     def dense_step(qq, kv, bt, seq):
         o = paged_flash_decode(qq, kv, None, bt, seq, ppcb=8)
         return qq + o * jnp.bfloat16(1e-6)
 
-    @jax.jit
     def sparse_step(qq, kv, bt, cent, block_ids, seq):
         o, _, _ = sparse_paged_fusion_attention(
             qq, kv, bt, cent, block_ids, seq, k=512, ppcb=8)
         return qq + o * jnp.bfloat16(1e-6)
 
-    t_dense = chain_time(lambda qq: dense_step(qq, kv, bt, seq), q, ITERS)
-    t_sparse = chain_time(
-        lambda qq: sparse_step(qq, kv, bt, cent, block_ids, seq), q, ITERS)
+    t_dense = chain_time(dense_step, q, (kv, bt, seq), ITERS)
+    t_sparse = chain_time(sparse_step, q, (kv, bt, cent, block_ids, seq),
+                          ITERS)
 
     dense_tps = B / t_dense
     sparse_tps = B / t_sparse
