@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import llama
+from . import sampling
 from .allocator import PageAllocator
 
 
@@ -37,8 +38,14 @@ class Request:
     seq_id: int
     prompt: np.ndarray                  # [S] int32
     max_new_tokens: int = 32
+    #: sampling controls (temperature <= 0 → greedy)
+    temperature: float = 0.0
+    top_p: float = 1.0
+    min_p: float = 0.0
+    eos_token_id: Optional[int] = None
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
+    finish_reason: Optional[str] = None
 
 
 class DecodeEngine:
@@ -46,7 +53,7 @@ class DecodeEngine:
 
     def __init__(self, cfg: llama.LlamaConfig, params, num_pages: int,
                  max_batch: int = 8, max_page: Optional[int] = None,
-                 sample_fn: Optional[Callable] = None):
+                 sample_fn: Optional[Callable] = None, seed: int = 0):
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
@@ -57,7 +64,9 @@ class DecodeEngine:
             jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages),
                       jnp.int32)
             if cfg.num_centroids else None)
-        self.sample_fn = sample_fn or (lambda logits: jnp.argmax(logits, -1))
+        self.sample_fn = sample_fn
+        self._sampler = sampling.make_sampler()
+        self._key = jax.random.key(seed)
 
         self.waiting: deque[Request] = deque()
         self.running: dict[int, Request] = {}
@@ -67,6 +76,9 @@ class DecodeEngine:
         self._bt_host = np.zeros((max_batch, self.max_page), np.int32)
         self._seq_lens = np.zeros((max_batch,), np.int32)
         self._tokens = np.zeros((max_batch,), np.int32)
+        self._temps = np.zeros((max_batch,), np.float32)
+        self._top_ps = np.ones((max_batch,), np.float32)
+        self._min_ps = np.zeros((max_batch,), np.float32)
         self._prefill_cursor: dict[int, int] = {}
 
     # -- request lifecycle ---------------------------------------------------
@@ -129,6 +141,9 @@ class DecodeEngine:
                 token = int(req.prompt[cur])
             else:
                 token = int(req.generated[-1])
+            self._temps[i] = req.temperature
+            self._top_ps[i] = req.top_p
+            self._min_ps[i] = req.min_p
             self.allocator.append_tokens(seq_id, 1)
             n = self.allocator.num_tokens(seq_id)
             self._bt_host[i] = self.allocator.block_table(
@@ -157,21 +172,39 @@ class DecodeEngine:
             jnp.asarray(self._seq_lens),
             self.block_ids,
         )
-        next_tokens = np.asarray(self.sample_fn(logits))
+        if self.sample_fn is not None:
+            next_tokens = np.asarray(self.sample_fn(logits))
+        else:
+            self._key, step_key = jax.random.split(self._key)
+            next_tokens = np.asarray(self._sampler(
+                logits, step_key, {
+                    "temperature": jnp.asarray(self._temps),
+                    "top_p": jnp.asarray(self._top_ps),
+                    "min_p": jnp.asarray(self._min_ps),
+                }))
 
         for i, seq_id in enumerate(self.slots):
             if seq_id is None:
                 continue
             req = self.running[seq_id]
             cur = self._prefill_cursor[seq_id]
+            emitted = False
             if cur < len(req.prompt):
                 self._prefill_cursor[seq_id] = cur + 1
                 if cur + 1 == len(req.prompt):
                     req.generated.append(int(next_tokens[i]))
+                    emitted = True
             else:
                 req.generated.append(int(next_tokens[i]))
-            if len(req.generated) >= req.max_new_tokens:
+                emitted = True
+            if (emitted and req.eos_token_id is not None
+                    and req.generated[-1] == req.eos_token_id):
                 req.done = True
+                req.finish_reason = "stop"
+                self._release(i)
+            elif len(req.generated) >= req.max_new_tokens:
+                req.done = True
+                req.finish_reason = "length"
                 self._release(i)
         return True
 
