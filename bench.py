@@ -40,7 +40,7 @@ QUICK = os.environ.get("BENCH_QUICK", "") == "1"
 B, HKV, G, D, PS, C = 1, 8, 4, 128, 128, 512
 HQ = HKV * G
 CTX = 32 * 1024 if QUICK else 128 * 1024
-ITERS = 10 if QUICK else 30
+ITERS = 100 if QUICK else 300  # large: ~24 ms fixed dispatch per chain call must amortize
 
 
 def chain_time(step, q, args, n):

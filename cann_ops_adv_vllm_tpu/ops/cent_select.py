@@ -73,12 +73,16 @@ def compute_cent_scores_grouped(q, l1_cent, k=64):
     return idx.astype(jnp.int32)
 
 
-def _membership_mask(block_ids, block_table, seq_len, indices, block_size):
+def _membership_mask(block_ids, block_table, seq_len, indices, block_size,
+                     num_clusters=None):
     """[B, H, max_page] bool — slot's page cluster ∈ indices[b,h] and slot valid.
 
-    Implemented as scatter-to-one-hot over the C cluster ids followed by a
-    gather — O(max_page) instead of O(max_page·K) broadcast compare.
-    Also returns (page_len [B], phys [B, max_page]).
+    With ``num_clusters`` (the static codebook size C), membership is a
+    scatter-built one-hot table [B·H, C] plus a gather — O(max_page + K)
+    instead of the O(max_page·K) broadcast compare (the TPU analog of the
+    reference's CompareScalar×k loop, cent_select.cpp:340-362).  Without
+    it, falls back to the broadcast compare.  Also returns
+    (page_len [B], phys [B, max_page]).
     """
     bsz = seq_len.shape[0]
     h = indices.shape[1]
@@ -94,15 +98,22 @@ def _membership_mask(block_ids, block_table, seq_len, indices, block_size):
         (jnp.arange(h) // g)[None, :, None], phys[:, None, :]
     ]
 
-    # one-hot membership table [B, H, C]: True where cluster id selected
-    num_clusters = jnp.max(block_ids) + 1  # traced — use scatter over K dim
-    del num_clusters
-    # scatter: selected[b,h,indices[b,h,j]] = True.  C is static from the
-    # caller via block_ids' value range; we instead compare against the
-    # gathered cluster directly when K is small, else use sort-based
-    # membership.  K ≤ 512 and max_page ≤ 1024 → broadcast compare is at
-    # most 128M bool lanes; fall back to it for simplicity and let XLA fuse.
-    mask = jnp.any(cluster[..., None] == indices[:, :, None, :], axis=-1)
+    k = indices.shape[2]
+    if num_clusters is not None and k >= num_clusters:
+        # every cluster selected (the reference's fused config: k = C =
+        # 512, sparse_paged_fusion_attention_tiling.cc:1603) — membership
+        # is trivially true; only the validity/cap/forcing logic applies
+        mask = jnp.ones((bsz, h, max_page), jnp.bool_)
+    elif num_clusters is not None:
+        flat = jnp.clip(indices.reshape(bsz * h, k), 0, num_clusters - 1)
+        table = jnp.zeros((bsz * h, num_clusters), jnp.bool_)
+        table = table.at[jnp.arange(bsz * h)[:, None], flat].set(True)
+        mask = jnp.take_along_axis(
+            table.reshape(bsz, h, num_clusters),
+            jnp.clip(cluster, 0, num_clusters - 1), axis=2)
+    else:
+        mask = jnp.any(cluster[..., None] == indices[:, :, None, :],
+                       axis=-1)
 
     slot_valid = jnp.arange(max_page)[None, :] < page_len[:, None]
     mask = mask & slot_valid[:, None, :]
@@ -178,16 +189,25 @@ def cent_select(q, l1_cent, block_ids, block_table, seq_len, *, k=64,
     """
     validation.check_selection_inputs(
         "cent_select", q, l1_cent, block_ids, block_table, seq_len, k=k)
-    if group_mode == "per_qhead":
-        indices = compute_cent(q, l1_cent, k)
-    elif group_mode == "kv_group":
-        indices = compute_cent_scores_grouped(q, l1_cent, k)
-    else:
-        raise ValueError(group_mode)
-
+    c = l1_cent.shape[1]
     bsz = seq_len.shape[0]
+    if group_mode not in ("per_qhead", "kv_group"):
+        raise ValueError(group_mode)
+    if k >= c:
+        # the reference's fused config (k=512 = C): every cluster is
+        # selected, so the similarity matmul and top-k are dead code —
+        # membership is all-true and only cap/sink/recent logic remains
+        h = q.shape[1] if group_mode == "per_qhead" else l1_cent.shape[0]
+        indices = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, None, :], (bsz, h, k))
+    elif group_mode == "per_qhead":
+        indices = compute_cent(q, l1_cent, k)
+    else:
+        indices = compute_cent_scores_grouped(q, l1_cent, k)
+
     mask, page_len, _ = _membership_mask(block_ids, block_table, seq_len,
-                                         indices, block_size)
+                                         indices, block_size,
+                                         num_clusters=c)
 
     if force_sink_and_recent:
         # Force slots whose physical id equals the sink page's or the two

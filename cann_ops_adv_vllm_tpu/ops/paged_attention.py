@@ -188,7 +188,7 @@ def _kernel(
             idx = ii * ppcb + j
             cond = end_ref[bb, hp, idx] > beg_ref[bb, hp, idx]
             copies.append((
-                cond,
+                cond, j,
                 pltpu.make_async_copy(
                     kv_pages_ref.at[hh, pid_ref[bb, hp, idx]],
                     kv_buf.at[slot, pl.ds(j * page_size, page_size), :],
@@ -197,7 +197,7 @@ def _kernel(
             ))
             if token_quant:
                 copies.append((
-                    cond,
+                    cond, None,
                     pltpu.make_async_copy(
                         tok_scale_ref.at[hh, pid_ref[bb, hp, idx]],
                         ts_buf.at[slot, j],
@@ -207,13 +207,23 @@ def _kernel(
         return copies
 
     def start_block(bb, hh, ii, slot):
-        for cond, dma in block_dmas(bb, hh, ii, slot):
+        for cond, j, dma in block_dmas(bb, hh, ii, slot):
             @pl.when(cond)
             def _():
                 dma.start()
 
+            if j is not None:
+                # skipped pages would otherwise leave NaN/inf garbage from
+                # an earlier block in the buffer; zero them (rare: only
+                # tail slots of the last active block)
+                @pl.when(jnp.logical_not(cond))
+                def _():
+                    kv_buf[slot, pl.ds(j * page_size, page_size), :] = (
+                        jnp.zeros((page_size, kv_buf.shape[-1]),
+                                  kv_buf.dtype))
+
     def wait_block(bb, hh, ii, slot):
-        for cond, dma in block_dmas(bb, hh, ii, slot):
+        for cond, _, dma in block_dmas(bb, hh, ii, slot):
             @pl.when(cond)
             def _():
                 dma.wait()
@@ -256,9 +266,7 @@ def _kernel(
 
         # --- token validity masks from prefetched (begin, end) windows ---
         tok_c = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-        tok_r = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
         col_valid = jnp.zeros((1, bk), dtype=jnp.bool_)
-        row_valid = jnp.zeros((bk, 1), dtype=jnp.bool_)
         pos_c = tok_c if slopes_ref is not None else None
         for j in range(ppcb):
             beg = beg_ref[b, hp, i * ppcb + j]
@@ -266,7 +274,6 @@ def _kernel(
             lo = j * page_size
             in_c = (tok_c >= lo + beg) & (tok_c < lo + end)
             col_valid = col_valid | in_c
-            row_valid = row_valid | ((tok_r >= lo + beg) & (tok_r < lo + end))
             if slopes_ref is not None:
                 # logical token position = slot*page_size + (tok - lo)
                 shift = slotid_ref[b, hp, i * ppcb + j] * page_size - lo
@@ -274,21 +281,16 @@ def _kernel(
 
         q = q_ref[0, 0].astype(jnp.float32)                    # [Gp, D]
         kvb = kv_buf[slot]                                     # [bk, 2D]
+        # skipped-DMA pages were zeroed at issue time; out-of-window rows
+        # of real pages hold stale-but-finite data that the column masks
+        # neutralize (p = 0 there)
         k = kvb[:, :d].astype(jnp.float32)                     # lane slice
         v = kvb[:, d:].astype(jnp.float32)
-        # rows of skipped-DMA pages are uninitialized (NaN/inf): zero them
-        # so 0-weight × garbage can't poison the matmuls
-        k = jnp.where(row_valid, k, 0.0)
-        v = jnp.where(row_valid, v, 0.0)
         if quantized and not token_quant:
-            k = jnp.where(
-                row_valid,
-                k * k_scale_ref[pl.ds(hk, 1), :]
-                + k_offset_ref[pl.ds(hk, 1), :], 0.0)
-            v = jnp.where(
-                row_valid,
-                v * v_scale_ref[pl.ds(hk, 1), :]
-                + v_offset_ref[pl.ds(hk, 1), :], 0.0)
+            k = (k * k_scale_ref[pl.ds(hk, 1), :]
+                 + k_offset_ref[pl.ds(hk, 1), :])
+            v = (v * v_scale_ref[pl.ds(hk, 1), :]
+                 + v_offset_ref[pl.ds(hk, 1), :])
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -379,6 +381,342 @@ def _kernel(
                 lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
                 lse = jnp.where(l == 0.0, MASK_VALUE, lse)
                 lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _slab_kernel(
+    # --- scalar prefetch ---
+    nblk_ref,       # [B, H_pos] int32
+    pid_ref,        # [B, H_pos, M] int32
+    beg_ref,        # [B, H_pos, M] int32
+    end_ref,        # [B, H_pos, M] int32
+    # --- inputs ---
+    q_ref,          # [1, H_kv, Gp, D] VMEM
+    kv_pages_ref,   # [H_kv, P, ps, 2*D] ANY (HBM)
+    k_scale_ref,    # [H_kv, D] VMEM (per-channel quant; zeros otherwise)
+    k_offset_ref,
+    v_scale_ref,
+    v_offset_ref,
+    oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
+    oq_off_ref,
+    # --- outputs ---
+    o_ref,          # [1, H_kv, Gp, D] VMEM
+    lse_ref,        # [1, H_kv, Gp, 128] VMEM (fp32) or None
+    # --- scratch ---
+    kv_buf,         # [2, H_kv, ppcb*ps, 2*D] VMEM, kv dtype
+    sem,            # DMA sems [2, H_kv, ppcb]
+    m_scr,          # [H_kv, Gp, 128] f32
+    l_scr,          # [H_kv, Gp, 128] f32
+    acc_scr,        # [H_kv, Gp, D] f32
+    slot_ref,       # SMEM [1] int32
+    *,
+    ppcb: int,
+    page_size: int,
+    sm_scale: float,
+    batch: int,
+    h_kv: int,
+    h_pos: int,
+    quantized: bool,
+):
+    """All-heads-per-step flash decode (the fast path).
+
+    The grid is (batch, kv_block) — every KV head of a block is processed
+    in one grid step (statically unrolled; flash state in per-head VMEM
+    scratch rows).  Two page-list regimes:
+
+    * ``H_pos == 1`` (dense / shared-positions sparse): all heads walk the
+      same logical pages, so ONE strided DMA per page —
+      ``kv_pages[:, pid]`` is a slab of H_kv contiguous 64 KB records —
+      fetches every head's record.  H_kv× fewer DMA descriptors on a
+      DMA-issue-rate-bound workload (~190 ns/descriptor on v5e): the
+      difference between ~20% and near-peak effective HBM bandwidth.
+    * ``H_pos == H_kv`` (per-head sparse): one DMA per (head, page) as in
+      the reference's gather, but grouped H_kv·ppcb to a grid step, so
+      per-step sequencing overhead is paid once per block rather than
+      once per (head, block) — the big win for the capped sparse path
+      whose total bytes are small.
+
+    Per-head block counts may differ (sparse): each head finalizes at its
+    own last block under ``pl.when``; the grid runs to the max.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    bk = ppcb * page_size
+    d = acc_scr.shape[-1]
+    shared = h_pos == 1
+
+    def block_dmas(bb, ii, slot):
+        copies = []
+        for j in range(ppcb):
+            idx = ii * ppcb + j
+            if shared:
+                cond = end_ref[bb, 0, idx] > beg_ref[bb, 0, idx]
+                copies.append((
+                    cond, (slice(None), j),
+                    pltpu.make_async_copy(
+                        kv_pages_ref.at[:, pid_ref[bb, 0, idx]],
+                        kv_buf.at[slot, :,
+                                  pl.ds(j * page_size, page_size), :],
+                        sem.at[slot, 0, j],
+                    ),
+                ))
+            else:
+                for h in range(h_kv):
+                    cond = end_ref[bb, h, idx] > beg_ref[bb, h, idx]
+                    copies.append((
+                        cond, (h, j),
+                        pltpu.make_async_copy(
+                            kv_pages_ref.at[h, pid_ref[bb, h, idx]],
+                            kv_buf.at[slot, h,
+                                      pl.ds(j * page_size, page_size), :],
+                            sem.at[slot, h, j],
+                        ),
+                    ))
+        return copies
+
+    def start_block(bb, ii, slot):
+        for cond, (h, j), dma in block_dmas(bb, ii, slot):
+            @pl.when(cond)
+            def _():
+                dma.start()
+
+            # a skipped page inside a still-active block would leave
+            # NaN/inf garbage from an earlier block in the buffer; zero it
+            # (rare: tail slots).  Fully-inactive heads skip compute, so
+            # their garbage is never read.
+            hp = 0 if shared else h
+            zero_cond = (jnp.logical_not(cond)
+                         & (ii * ppcb < nblk_ref[bb, hp]))
+
+            @pl.when(zero_cond)
+            def _():
+                if shared:
+                    kv_buf[slot, :, pl.ds(j * page_size, page_size), :] = (
+                        jnp.zeros((h_kv, page_size, kv_buf.shape[3]),
+                                  kv_buf.dtype))
+                else:
+                    kv_buf[slot, h, pl.ds(j * page_size, page_size), :] = (
+                        jnp.zeros((page_size, kv_buf.shape[3]),
+                                  kv_buf.dtype))
+
+    def wait_block(bb, ii, slot):
+        for cond, _, dma in block_dmas(bb, ii, slot):
+            @pl.when(cond)
+            def _():
+                dma.wait()
+
+    def n_i_of(bb, hp):
+        return jax.lax.div(nblk_ref[bb, hp] + (ppcb - 1), ppcb)
+
+    n_i_max = n_i_of(b, 0)
+    for hp in range(1, h_pos):
+        n_i_max = jnp.maximum(n_i_max, n_i_of(b, hp))
+    active = i < n_i_max
+
+    @pl.when(active)
+    def _run():
+        @pl.when((b == 0) & (i == 0))
+        def _():
+            slot_ref[0] = 0
+            start_block(b, i, 0)
+
+        slot = slot_ref[0]
+
+        @pl.when(i == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        last_here = i + 1 >= n_i_max
+        nxt_b = jnp.where(last_here, b + 1, b)
+        nxt_i = jnp.where(last_here, 0, i + 1)
+
+        @pl.when(nxt_b < batch)
+        def _():
+            start_block(nxt_b, nxt_i, 1 - slot)
+        slot_ref[0] = 1 - slot
+
+        wait_block(b, i, slot)
+
+        tok_c = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+
+        def col_mask(hp):
+            valid = jnp.zeros((1, bk), dtype=jnp.bool_)
+            for j in range(ppcb):
+                beg = beg_ref[b, hp, i * ppcb + j]
+                end = end_ref[b, hp, i * ppcb + j]
+                lo = j * page_size
+                valid = valid | ((tok_c >= lo + beg) & (tok_c < lo + end))
+            return valid
+
+        shared_valid = col_mask(0) if shared else None
+
+        for h in range(h_kv):                      # static unroll
+            hp = 0 if shared else h
+            head_active = i < n_i_of(b, hp)
+
+            @pl.when(head_active)
+            def _(h=h, hp=hp):
+                col_valid = shared_valid if shared else col_mask(hp)
+                kvb = kv_buf[slot, h]              # [bk, 2D], kv dtype
+                k = kvb[:, :d]
+                v = kvb[:, d:]
+                if quantized:
+                    k = (k.astype(jnp.float32) * k_scale_ref[h:h + 1, :]
+                         + k_offset_ref[h:h + 1, :])
+                    v = (v.astype(jnp.float32) * v_scale_ref[h:h + 1, :]
+                         + v_offset_ref[h:h + 1, :])
+                q = q_ref[0, h].astype(k.dtype)    # [Gp, D]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale
+                s = jnp.where(col_valid, s, MASK_VALUE)
+
+                m_prev = m_scr[h]
+                l_prev = l_scr[h]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev[:, :1], m_curr)
+                alpha = jnp.exp(m_prev[:, :1] - m_next)
+                p = jnp.exp(s - m_next)
+                p = jnp.where(col_valid, p, 0.0)
+                l_next = (alpha * l_prev[:, :1]
+                          + jnp.sum(p, axis=1, keepdims=True))
+                m_scr[h] = jnp.broadcast_to(m_next, m_prev.shape)
+                l_scr[h] = jnp.broadcast_to(l_next, l_prev.shape)
+                o_curr = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[h] = acc_scr[h] * alpha + o_curr
+
+            # each head finalizes at its own last block
+            @pl.when(head_active & (i + 1 >= n_i_of(b, hp)))
+            def _(h=h):
+                l = l_scr[h][:, :1]
+                l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+                o = acc_scr[h] * l_inv
+                if oq_scale_ref is not None:
+                    o = jnp.round(o * oq_scale_ref[h] + oq_off_ref[h])
+                    o = jnp.clip(o, -128.0, 127.0)
+                o_ref[0, h] = o.astype(o_ref.dtype)
+                if lse_ref is not None:
+                    lse = m_scr[h][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+                    lse = jnp.where(l == 0.0, MASK_VALUE, lse)
+                    lse_ref[0, h] = jnp.broadcast_to(lse,
+                                                     lse_ref.shape[2:])
+
+
+def _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, d, kv_dtype):
+    """Clamp slab ppcb so the double-buffered all-heads slab fits VMEM."""
+    bytes_per_page = h_kv * page_size * 2 * d * jnp.dtype(kv_dtype).itemsize
+    budget = 10 * 1024 * 1024          # of the ~16 MiB VMEM
+    return max(1, min(ppcb, budget // (2 * bytes_per_page)))
+
+
+def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
+               out_quant, sm_scale, page_size, ppcb, return_lse, interpret):
+    """Build + run the all-heads-per-step pallas_call (H_pos ∈ {1, H_kv})."""
+    b, h_kv, gp, d = qg.shape
+    h_pos = pids.shape[1]
+    max_blocks = pids.shape[2]
+    ppcb = _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, d, kv_pages.dtype)
+    m_pad = _cdiv(max_blocks, ppcb) * ppcb
+    if m_pad != max_blocks:
+        pad = ((0, 0), (0, 0), (0, m_pad - max_blocks))
+        pids = jnp.pad(pids, pad)
+        begs = jnp.pad(begs, pad)
+        ends = jnp.pad(ends, pad)
+
+    quantized = kv_scales is not None
+    zeros = jnp.zeros((h_kv, d), jnp.float32)
+    if quantized:
+        k_scale, k_offset, v_scale, v_offset = (
+            s.astype(jnp.float32) for s in kv_scales)
+    else:
+        k_scale = k_offset = v_scale = v_offset = zeros
+
+    out_quantized = out_quant is not None
+    if out_quantized:
+        oq_scale, oq_off = out_quant     # pre-shaped [H_kv, Gp, D] f32
+        out_dtype = jnp.int8
+    else:
+        oq_scale = oq_off = None
+        out_dtype = qg.dtype
+
+    grid = (b, m_pad // ppcb)
+
+    def full_spec():
+        return pl.BlockSpec((1, h_kv, gp, d),
+                            lambda bb, ii, *refs: (bb, 0, 0, 0))
+
+    in_ops = [qg, kv_pages, k_scale, k_offset, v_scale, v_offset]
+    in_specs = [
+        full_spec(),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if out_quantized:
+        in_ops += [oq_scale, oq_off]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    out_shapes = [jax.ShapeDtypeStruct((b, h_kv, gp, d), out_dtype)]
+    out_specs = [full_spec()]
+    if return_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, h_kv, gp, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, h_kv, gp, 128),
+                                      lambda bb, ii, *refs: (bb, 0, 0, 0)))
+
+    kernel = functools.partial(
+        _slab_kernel,
+        ppcb=ppcb, page_size=page_size, sm_scale=sm_scale,
+        batch=b, h_kv=h_kv, h_pos=h_pos, quantized=quantized)
+
+    def wrapped(*args):
+        args = list(args)
+
+        def take(n):
+            vals = args[:n]
+            del args[:n]
+            return vals
+
+        nblk_r, pid_r, beg_r, end_r = take(4)
+        q_r, kv_r, ks_r, ko_r, vs_r, vo_r = take(6)
+        oqs_r, oqo_r = take(2) if out_quantized else (None, None)
+        o_r = take(1)[0]
+        lse_r = take(1)[0] if return_lse else None
+        kvb_r, sem_r, m_r, l_r, acc_r, sl_r = take(6)
+        kernel(nblk_r, pid_r, beg_r, end_r, q_r, kv_r, ks_r, ko_r, vs_r,
+               vo_r, oqs_r, oqo_r, o_r, lse_r,
+               kvb_r, sem_r, m_r, l_r, acc_r, sl_r)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if return_lse else out_specs[0],
+        scratch_shapes=[
+            pltpu.VMEM((2, h_kv, ppcb * page_size, 2 * d), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, h_kv, ppcb)),
+            pltpu.VMEM((h_kv, gp, 128), jnp.float32),
+            pltpu.VMEM((h_kv, gp, 128), jnp.float32),
+            pltpu.VMEM((h_kv, gp, d), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        wrapped,
+        out_shape=out_shapes if return_lse else out_shapes[0],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(nblk, pids, begs, ends, *in_ops)
 
 
 @functools.partial(
@@ -564,6 +902,27 @@ def paged_flash_decode(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    # Fast path: all heads of a block in one grid step.  Shared page list
+    # (dense) additionally collapses the per-head DMAs into one strided
+    # slab descriptor per page.  Features that need per-(head, block)
+    # streams (bias tiles, per-token scales) or in-kernel alibi stay on
+    # the general kernel.
+    if (h_pos in (1, h_kv) and not token_quant and not has_bias
+            and not use_alibi):
+        result = _slab_call(
+            qg, kv_pages, pids, begs, ends, nblk,
+            kv_scales=((k_scale, k_offset, v_scale, v_offset)
+                       if quantized else None),
+            out_quant=((oq_scale, oq_off) if out_quantized else None),
+            sm_scale=sm_scale, page_size=page_size, ppcb=ppcb,
+            return_lse=return_lse, interpret=interpret)
+        if return_lse:
+            out, lse = result
+            out = out[:, :, :g, :].reshape(b, h_q, d)
+            lse = lse[:, :, :g, 0].reshape(b, h_q)
+            return out, lse
+        return result[:, :, :g, :].reshape(b, h_q, d)
 
     grid = (b, h_kv, m_pad // ppcb)
 

@@ -128,7 +128,7 @@ def main():
     ap.add_argument("--kvs", default="131072")
     ap.add_argument("--pages", default="128")
     ap.add_argument("--int8", action="store_true")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--topk", type=int, default=512)
     ap.add_argument("--cap-ratio", type=int, default=8,
