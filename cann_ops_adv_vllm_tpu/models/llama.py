@@ -38,6 +38,12 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    #: add bias to q/k/v projections (Qwen2-family)
+    attention_bias: bool = False
+    #: sliding-window attention span (Mistral-family); 0 disables.
+    #: Realized through the kernel's kv-left-padding window (kv_start),
+    #: not a mask tensor.
+    sliding_window: int = 0
 
     # sparse-attention knobs (None → dense attention)
     num_centroids: int = 0          # 0 disables centroid sparsity
@@ -83,6 +89,10 @@ def init_params(cfg: LlamaConfig, key) -> dict:
             "wq": dense(ks[0], (h, nq * hd)),
             "wk": dense(ks[1], (h, nkv * hd)),
             "wv": dense(ks[2], (h, nkv * hd)),
+            **({"bq": jnp.zeros((nq * hd,), cfg.dtype),
+                "bk": jnp.zeros((nkv * hd,), cfg.dtype),
+                "bv": jnp.zeros((nkv * hd,), cfg.dtype)}
+               if cfg.attention_bias else {}),
             "wo": dense(ks[3], (nq * hd, h)),
             "w_gate": dense(ks[4], (h, im)),
             "w_up": dense(ks[5], (h, im)),
@@ -167,11 +177,16 @@ def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     pos = seq_lens.astype(jnp.int32) - 1     # current token's position
 
-    q = (x @ layer_params["wq"]).reshape(b, nq, hd)
-    k = (x @ layer_params["wk"]).reshape(b, nkv, hd)
-    v = (x @ layer_params["wv"]).reshape(b, nkv, hd)
-    q = rope(q, pos, cfg.rope_theta)
-    k = rope(k, pos, cfg.rope_theta)
+    q = x @ layer_params["wq"]
+    k = x @ layer_params["wk"]
+    v = x @ layer_params["wv"]
+    if "bq" in layer_params:
+        q = q + layer_params["bq"]
+        k = k + layer_params["bk"]
+        v = v + layer_params["bv"]
+    q = rope(q.reshape(b, nq, hd), pos, cfg.rope_theta)
+    k = rope(k.reshape(b, nkv, hd), pos, cfg.rope_theta)
+    v = v.reshape(b, nkv, hd)
 
     kv_cache_layer = write_kv_page_rows(
         kv_cache_layer, k, v, block_table, pos, cfg.page_size)
@@ -186,9 +201,19 @@ def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
             group_mode="kv_group")
         position_lens = plen[..., 0]
 
+    attend_lens = seq_lens
+    kv_start = None
+    if cfg.sliding_window:
+        # Mistral-family sliding window: attend only the last W tokens,
+        # via the kernel's kv-left-padding window rather than a mask
+        kv_start = jnp.maximum(
+            seq_lens.astype(jnp.int32) - cfg.sliding_window, 0)
+        attend_lens = seq_lens.astype(jnp.int32) - kv_start
+
     out = paged_flash_decode(
-        q, kv_cache_layer, None, block_table[:b], seq_lens,
-        positions, position_lens, page_size=cfg.page_size)
+        q, kv_cache_layer, None, block_table[:b], attend_lens,
+        positions, position_lens, kv_start=kv_start,
+        page_size=cfg.page_size)
     out = out.reshape(b, nq * hd).astype(x.dtype)
     return out @ layer_params["wo"], kv_cache_layer
 
@@ -279,14 +304,20 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
     new_cache = []
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        q = rope((h @ lp["wq"]).reshape(b, t, nq, hd), pos, cfg.rope_theta)
-        k = rope((h @ lp["wk"]).reshape(b, t, nkv, hd), pos, cfg.rope_theta)
-        v = (h @ lp["wv"]).reshape(b, t, nkv, hd)
+        q = h @ lp["wq"]
+        k = h @ lp["wk"]
+        v = h @ lp["wv"]
+        if "bq" in lp:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q = rope(q.reshape(b, t, nq, hd), pos, cfg.rope_theta)
+        k = rope(k.reshape(b, t, nkv, hd), pos, cfg.rope_theta)
+        v = v.reshape(b, t, nkv, hd)
         cache_li = write_prompt_chunk(kv_cache[li], k, v, block_table,
                                       start_pos, page_size=cfg.page_size)
         new_cache.append(cache_li)
         attn = paged_prefill_attention(q, cache_li, block_table, start_pos,
-                                       page_size=cfg.page_size)
+                                       page_size=cfg.page_size,
+                                       sliding_window=cfg.sliding_window)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
         x = x + (attn @ lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)

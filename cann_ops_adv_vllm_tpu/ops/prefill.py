@@ -46,10 +46,11 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "kv_block_pages",
-                                             "sm_scale"))
+                                             "sm_scale", "sliding_window"))
 def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
                             kv_scales=None, sm_scale=None,
-                            page_size=PAGE_SIZE, kv_block_pages=4):
+                            page_size=PAGE_SIZE, kv_block_pages=4,
+                            sliding_window=0):
     """Causal attention of a query chunk against the paged cache.
 
     Args:
@@ -100,6 +101,10 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
                   + jnp.arange(bk, dtype=jnp.int32))        # [bk]
         # causal: kv position ≤ query position
         mask = kv_pos[None, None, :] <= q_pos[:, :, None]   # [B,T,bk]
+        if sliding_window:
+            # Mistral-family: each query attends its last W positions only
+            mask = mask & (kv_pos[None, None, :]
+                           > q_pos[:, :, None] - sliding_window)
 
         s = jnp.einsum("bhgtd,bhkd->bhgtk", qg, k,
                        preferred_element_type=jnp.float32) * sm_scale
