@@ -1,0 +1,218 @@
+"""DeepSeek-class decoder: MLA attention + (optional) MoE MLP.
+
+Model family counterpart to :mod:`.llama` for latent-attention models
+(DeepSeek-V2/V3 architecture): MLA with a paged shared-latent cache
+(ops.mla — the realized form of the reference's MLA scaffold,
+incre_flash_attention_tiling_mla.h) and a top-k routed mixture-of-experts
+MLP with shared experts (set ``num_experts=0`` for a dense MLP).
+
+Functional pytree + pure functions, same contract as llama.py; the
+parallel layer adds mesh shardings (experts shard over the ``ep`` axis)
+without touching this file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PAGE_SIZE
+from ..ops import mla as mla_ops
+from .llama import rms_norm, rope
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSeekConfig:
+    vocab_size: int = 1024
+    hidden_size: int = 256
+    intermediate_size: int = 512
+    num_layers: int = 2
+    num_heads: int = 16
+    #: latent (compressed KV) width — the shared per-token cache row
+    kv_lora_rank: int = 512
+    #: optional low-rank query path (0 → direct q projection)
+    q_lora_rank: int = 0
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    page_size: int = PAGE_SIZE
+    # --- MoE (0 experts → dense MLP) ---
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 128
+    n_shared_experts: int = 1
+
+    @property
+    def record_width(self):
+        """Latent cache row width, padded to the 128-lane tile."""
+        return _round_up(self.kv_lora_rank + self.qk_rope_head_dim, 128)
+
+    @property
+    def sm_scale(self):
+        return float(1.0 / ((self.qk_nope_head_dim
+                             + self.qk_rope_head_dim) ** 0.5))
+
+
+TINY_DEEPSEEK = DeepSeekConfig()
+TINY_DEEPSEEK_MOE = DeepSeekConfig(num_experts=4, num_experts_per_tok=2,
+                                   moe_intermediate_size=128,
+                                   n_shared_experts=1)
+
+
+def init_params(cfg: DeepSeekConfig, key) -> dict:
+    h = cfg.hidden_size
+    nh, dn, dr, dv = (cfg.num_heads, cfg.qk_nope_head_dim,
+                      cfg.qk_rope_head_dim, cfg.v_head_dim)
+    c = cfg.kv_lora_rank
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(key, shape, scale=None):
+        scale = scale or (1.0 / (shape[0] ** 0.5))
+        return (jax.random.normal(key, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    def layer(key):
+        ks = jax.random.split(key, 12)
+        p = {
+            "w_dkv": dense(ks[1], (h, c + dr)),
+            "kv_ln": jnp.ones((c,), cfg.dtype),
+            "w_uk": dense(ks[2], (nh, dn, c), 1.0 / (dn ** 0.5)),
+            "w_uv": dense(ks[3], (nh, c, dv), 1.0 / (c ** 0.5)),
+            "wo": dense(ks[4], (nh * dv, h)),
+            "ln_attn": jnp.ones((h,), cfg.dtype),
+            "ln_mlp": jnp.ones((h,), cfg.dtype),
+        }
+        if cfg.q_lora_rank:
+            p["w_dq"] = dense(ks[0], (h, cfg.q_lora_rank))
+            p["q_ln"] = jnp.ones((cfg.q_lora_rank,), cfg.dtype)
+            p["w_uq"] = dense(ks[5], (cfg.q_lora_rank, nh * (dn + dr)))
+        else:
+            p["wq"] = dense(ks[0], (h, nh * (dn + dr)))
+        if cfg.num_experts:
+            e, im = cfg.num_experts, cfg.moe_intermediate_size
+            p["router"] = dense(ks[6], (h, e), 1.0)
+            p["e_gate"] = dense(ks[7], (e, h, im))
+            p["e_up"] = dense(ks[8], (e, h, im))
+            p["e_down"] = dense(ks[9], (e, im, h))
+            if cfg.n_shared_experts:
+                sim = im * cfg.n_shared_experts
+                p["s_gate"] = dense(ks[10], (h, sim))
+                p["s_up"] = dense(ks[11], (h, sim))
+                p["s_down"] = dense(ks[6], (sim, h))
+        else:
+            p["w_gate"] = dense(ks[6], (h, cfg.intermediate_size))
+            p["w_up"] = dense(ks[7], (h, cfg.intermediate_size))
+            p["w_down"] = dense(ks[8], (cfg.intermediate_size, h))
+        return p
+
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, h), 1.0),
+        "layers": [layer(k) for k in keys[2:]],
+        "ln_f": jnp.ones((h,), cfg.dtype),
+        "lm_head": dense(keys[1], (h, cfg.vocab_size)),
+    }
+
+
+def init_latent_cache(cfg: DeepSeekConfig, num_pages: int, dtype=None):
+    """[num_layers, 1, num_pages, page_size, record_width]."""
+    dtype = dtype or cfg.dtype
+    return jnp.zeros((cfg.num_layers, 1, num_pages, cfg.page_size,
+                      cfg.record_width), dtype)
+
+
+def _mla_qkv(cfg, lp, x, pos):
+    """Project + rope one decode step's queries and latent row."""
+    b = x.shape[0]
+    nh, dn, dr = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    if cfg.q_lora_rank:
+        q = rms_norm(x @ lp["w_dq"], lp["q_ln"], cfg.rms_eps) @ lp["w_uq"]
+    else:
+        q = x @ lp["wq"]
+    q = q.reshape(b, nh, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    q_pe = rope(q_pe, pos, cfg.rope_theta)
+
+    kv = x @ lp["w_dkv"]                                   # [B, c+dr]
+    c_kv = rms_norm(kv[:, :cfg.kv_lora_rank], lp["kv_ln"], cfg.rms_eps)
+    k_pe = rope(kv[:, None, cfg.kv_lora_rank:], pos,
+                cfg.rope_theta)[:, 0]                      # shared head
+    row = jnp.concatenate([c_kv, k_pe], axis=-1)
+    pad = cfg.record_width - row.shape[-1]
+    if pad:
+        row = jnp.pad(row, ((0, 0), (0, pad)))
+    return q_nope, q_pe, row
+
+
+def _moe(cfg, lp, x):
+    """Top-k routed MoE + shared experts (decode-batch sized)."""
+    scores = jax.nn.softmax((x.astype(jnp.float32) @ lp["router"]
+                             .astype(jnp.float32)), axis=-1)     # [B, E]
+    top_w, top_i = jax.lax.top_k(scores, cfg.num_experts_per_tok)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    # gather the selected experts' weights (decode batches are small)
+    eg = lp["e_gate"][top_i]                                # [B, K, h, im]
+    eu = lp["e_up"][top_i]
+    ed = lp["e_down"][top_i]
+    hmid = (jax.nn.silu(jnp.einsum("bh,bkhi->bki", x, eg))
+            * jnp.einsum("bh,bkhi->bki", x, eu))
+    y = jnp.einsum("bki,bkih->bkh", hmid, ed)
+    y = jnp.einsum("bk,bkh->bh", top_w.astype(y.dtype), y)
+    if cfg.n_shared_experts:
+        y = y + (jax.nn.silu(x @ lp["s_gate"]) * (x @ lp["s_up"])
+                 ) @ lp["s_down"]
+    return y
+
+
+def _mlp(cfg, lp, x):
+    if cfg.num_experts:
+        return _moe(cfg, lp, x)
+    return (jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])) @ lp["w_down"]
+
+
+def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
+                block_table, seq_lens):
+    """One decode step.  Mirrors llama.decode_step but with the MLA chain.
+
+    latent_cache: [L, 1, P, ps, W]; returns (logits [B, V], new cache).
+    """
+    b = token_ids.shape[0]
+    pos = seq_lens.astype(jnp.int32) - 1
+    x = params["embed"][token_ids].astype(cfg.dtype)
+    new_cache = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
+        cache_li = mla_ops.write_latent_rows(
+            latent_cache[li], row, block_table[:b], pos,
+            page_size=cfg.page_size)
+        new_cache.append(cache_li)
+        attn = mla_ops.mla_attention(
+            q_nope, q_pe, cache_li, block_table[:b], seq_lens,
+            lp["w_uk"], lp["w_uv"], sm_scale=cfg.sm_scale,
+            page_size=cfg.page_size)
+        attn = attn.reshape(b, -1).astype(cfg.dtype)
+        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
+    x = rms_norm(x, params["ln_f"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.stack(new_cache)
+
+
+def make_decode_fn(cfg: DeepSeekConfig):
+    @jax.jit
+    def fn(params, token_ids, latent_cache, block_table, seq_lens):
+        return decode_step(cfg, params, token_ids, latent_cache,
+                           block_table, seq_lens)
+    return fn

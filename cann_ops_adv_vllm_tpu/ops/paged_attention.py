@@ -416,8 +416,17 @@ def _slab_kernel(
     h_kv: int,
     h_pos: int,
     quantized: bool,
+    k_width: int,
+    d_v: int,
+    v_off: int,
 ):
     """All-heads-per-step flash decode (the fast path).
+
+    Record geometry is parameterized: K is lanes [:k_width] of each row,
+    V is lanes [v_off : v_off+d_v].  Standard fused records use
+    (k_width, d_v, v_off) = (D, D, D); MLA latent records use
+    (W, c_kv, 0) — V aliases K's latent prefix
+    (ops.mla; reference MLA scaffold incre_flash_attention_tiling_mla.h).
 
     The grid is (batch, kv_block) — every KV head of a block is processed
     in one grid step (statically unrolled; flash state in per-head VMEM
@@ -441,7 +450,6 @@ def _slab_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     bk = ppcb * page_size
-    d = acc_scr.shape[-1]
     shared = h_pos == 1
 
     def block_dmas(bb, ii, slot):
@@ -558,9 +566,9 @@ def _slab_kernel(
             @pl.when(head_active)
             def _(h=h, hp=hp):
                 col_valid = shared_valid if shared else col_mask(hp)
-                kvb = kv_buf[slot, h]              # [bk, 2D], kv dtype
-                k = kvb[:, :d]
-                v = kvb[:, d:]
+                kvb = kv_buf[slot, h]              # [bk, W], kv dtype
+                k = kvb[:, :k_width]
+                v = kvb[:, v_off:v_off + d_v]
                 if quantized:
                     k = (k.astype(jnp.float32) * k_scale_ref[h:h + 1, :]
                          + k_offset_ref[h:h + 1, :])
@@ -607,20 +615,30 @@ def _slab_kernel(
                                                      lse_ref.shape[2:])
 
 
-def _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, d, kv_dtype):
+def _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, width, kv_dtype):
     """Clamp slab ppcb so the double-buffered all-heads slab fits VMEM."""
-    bytes_per_page = h_kv * page_size * 2 * d * jnp.dtype(kv_dtype).itemsize
+    bytes_per_page = h_kv * page_size * width * jnp.dtype(kv_dtype).itemsize
     budget = 10 * 1024 * 1024          # of the ~16 MiB VMEM
     return max(1, min(ppcb, budget // (2 * bytes_per_page)))
 
 
 def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
-               out_quant, sm_scale, page_size, ppcb, return_lse, interpret):
-    """Build + run the all-heads-per-step pallas_call (H_pos ∈ {1, H_kv})."""
-    b, h_kv, gp, d = qg.shape
+               out_quant, sm_scale, page_size, ppcb, return_lse, interpret,
+               dims=None):
+    """Build + run the all-heads-per-step pallas_call (H_pos ∈ {1, H_kv}).
+
+    ``dims=(k_width, d_v, v_off)`` sets the record geometry (default: the
+    standard fused K|V record (D, D, D)).
+    """
+    b, h_kv, gp, k_width = qg.shape
+    width = kv_pages.shape[3]
+    if dims is None:
+        dims = (k_width, k_width, k_width)
+    k_width, d_v, v_off = dims
     h_pos = pids.shape[1]
     max_blocks = pids.shape[2]
-    ppcb = _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, d, kv_pages.dtype)
+    ppcb = _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, width,
+                                  kv_pages.dtype)
     m_pad = _cdiv(max_blocks, ppcb) * ppcb
     if m_pad != max_blocks:
         pad = ((0, 0), (0, 0), (0, m_pad - max_blocks))
@@ -629,16 +647,16 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         ends = jnp.pad(ends, pad)
 
     quantized = kv_scales is not None
-    zeros = jnp.zeros((h_kv, d), jnp.float32)
     if quantized:
         k_scale, k_offset, v_scale, v_offset = (
             s.astype(jnp.float32) for s in kv_scales)
     else:
-        k_scale = k_offset = v_scale = v_offset = zeros
+        k_scale = k_offset = jnp.zeros((h_kv, k_width), jnp.float32)
+        v_scale = v_offset = jnp.zeros((h_kv, d_v), jnp.float32)
 
     out_quantized = out_quant is not None
     if out_quantized:
-        oq_scale, oq_off = out_quant     # pre-shaped [H_kv, Gp, D] f32
+        oq_scale, oq_off = out_quant     # pre-shaped [H_kv, Gp, D_v] f32
         out_dtype = jnp.int8
     else:
         oq_scale = oq_off = None
@@ -646,13 +664,13 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
 
     grid = (b, m_pad // ppcb)
 
-    def full_spec():
-        return pl.BlockSpec((1, h_kv, gp, d),
+    def full_spec(width):
+        return pl.BlockSpec((1, h_kv, gp, width),
                             lambda bb, ii, *refs: (bb, 0, 0, 0))
 
     in_ops = [qg, kv_pages, k_scale, k_offset, v_scale, v_offset]
     in_specs = [
-        full_spec(),
+        full_spec(k_width),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -663,8 +681,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         in_ops += [oq_scale, oq_off]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
-    out_shapes = [jax.ShapeDtypeStruct((b, h_kv, gp, d), out_dtype)]
-    out_specs = [full_spec()]
+    out_shapes = [jax.ShapeDtypeStruct((b, h_kv, gp, d_v), out_dtype)]
+    out_specs = [full_spec(d_v)]
     if return_lse:
         out_shapes.append(
             jax.ShapeDtypeStruct((b, h_kv, gp, 128), jnp.float32))
@@ -674,7 +692,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
     kernel = functools.partial(
         _slab_kernel,
         ppcb=ppcb, page_size=page_size, sm_scale=sm_scale,
-        batch=b, h_kv=h_kv, h_pos=h_pos, quantized=quantized)
+        batch=b, h_kv=h_kv, h_pos=h_pos, quantized=quantized,
+        k_width=k_width, d_v=d_v, v_off=v_off)
 
     def wrapped(*args):
         args = list(args)
@@ -700,11 +719,11 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         in_specs=in_specs,
         out_specs=out_specs if return_lse else out_specs[0],
         scratch_shapes=[
-            pltpu.VMEM((2, h_kv, ppcb * page_size, 2 * d), kv_pages.dtype),
+            pltpu.VMEM((2, h_kv, ppcb * page_size, width), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2, h_kv, ppcb)),
             pltpu.VMEM((h_kv, gp, 128), jnp.float32),
             pltpu.VMEM((h_kv, gp, 128), jnp.float32),
-            pltpu.VMEM((h_kv, gp, d), jnp.float32),
+            pltpu.VMEM((h_kv, gp, d_v), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )

@@ -1,0 +1,161 @@
+"""MLA decode: kernel vs numpy latent oracle; absorbed == expanded; model.
+
+The reference only scaffolds MLA (incre_flash_attention_tiling_mla.h);
+semantics here are pinned by first principles: absorbed latent attention
+must equal the naive per-head expansion K_t = W_UK·c_t ‖ k_rope_t,
+V_t = W_UVᵀ·c_t.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cann_ops_adv_vllm_tpu.models import deepseek
+from cann_ops_adv_vllm_tpu.ops import mla as mla_ops
+
+
+def _latent_oracle(q_eff, latent, block_table, seq_lens, d_v, scale, ps):
+    """softmax(q·latentᵀ)·latent[:, :d_v] gathered via block table."""
+    q_eff = np.asarray(q_eff, np.float64)
+    latent = np.asarray(latent, np.float64)
+    b, h, w = q_eff.shape
+    out = np.zeros((b, h, d_v))
+    for bi in range(b):
+        n = int(seq_lens[bi])
+        rows = np.stack([
+            latent[int(block_table[bi, t // ps]), t % ps]
+            for t in range(n)])                        # [n, W]
+        s = scale * (q_eff[bi] @ rows.T)               # [H, n]
+        e = np.exp(s - s.max(-1, keepdims=True))
+        p = e / e.sum(-1, keepdims=True)
+        out[bi] = p @ rows[:, :d_v]
+    return out
+
+
+def test_mla_flash_decode_vs_oracle():
+    rng = np.random.default_rng(0)
+    b, h, w, c, ps, P, mp = 2, 16, 640, 512, 16, 32, 8
+    q = jnp.asarray(rng.standard_normal((b, h, w)), jnp.float32)
+    pages = jnp.asarray(rng.standard_normal((P, ps, w)), jnp.float32)
+    bt = jnp.asarray(rng.permutation(P)[:b * mp].reshape(b, mp), jnp.int32)
+    sl = jnp.asarray(rng.integers(1, mp * ps, b), jnp.int32)
+    scale = 1.0 / np.sqrt(192.0)
+
+    got = mla_ops.mla_flash_decode(q, pages, bt, sl, d_v=c,
+                                   sm_scale=scale, page_size=ps)
+    want = _latent_oracle(q, pages, np.asarray(bt), np.asarray(sl), c,
+                          scale, ps)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_absorbed_equals_expanded():
+    """Absorbed MLA == naive expansion to per-head K/V attention."""
+    rng = np.random.default_rng(1)
+    b, h, dn, dr, c, dv = 2, 4, 128, 64, 512, 128
+    ps, P, mp = 16, 16, 4
+    w = 640
+    q_nope = jnp.asarray(rng.standard_normal((b, h, dn)), jnp.float32)
+    q_rope = jnp.asarray(rng.standard_normal((b, h, dr)), jnp.float32)
+    w_uk = jnp.asarray(rng.standard_normal((h, dn, c)) * 0.05, jnp.float32)
+    w_uv = jnp.asarray(rng.standard_normal((h, c, dv)) * 0.05, jnp.float32)
+    pages = np.zeros((P, ps, w), np.float32)
+    pages[..., :c + dr] = rng.standard_normal((P, ps, c + dr))
+    pages = jnp.asarray(pages)
+    bt = jnp.asarray(rng.permutation(P)[:b * mp].reshape(b, mp), jnp.int32)
+    sl = jnp.asarray([3 * ps + 5, 2 * ps], jnp.int32)
+    scale = 1.0 / np.sqrt(dn + dr)
+
+    got = mla_ops.mla_attention(q_nope, q_rope, pages, bt, sl, w_uk, w_uv,
+                                sm_scale=scale, page_size=ps)
+
+    # naive expansion
+    pn = np.asarray(pages, np.float64)
+    qn = np.asarray(q_nope, np.float64)
+    qr = np.asarray(q_rope, np.float64)
+    uk = np.asarray(w_uk, np.float64)
+    uv = np.asarray(w_uv, np.float64)
+    want = np.zeros((b, h, dv))
+    for bi in range(b):
+        n = int(sl[bi])
+        rows = np.stack([pn[int(bt[bi, t // ps]), t % ps]
+                         for t in range(n)])
+        c_t, pe_t = rows[:, :c], rows[:, c:c + dr]
+        for hi in range(h):
+            k_t = c_t @ uk[hi].T                       # [n, dn]
+            v_t = c_t @ uv[hi]                         # [n, dv]
+            s = scale * (k_t @ qn[bi, hi] + pe_t @ qr[bi, hi])
+            e = np.exp(s - s.max())
+            want[bi, hi] = (e / e.sum()) @ v_t
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def _tiny(moe=False):
+    cfg = deepseek.TINY_DEEPSEEK_MOE if moe else deepseek.TINY_DEEPSEEK
+    import dataclasses as dc
+    return dc.replace(cfg, page_size=16, dtype=jnp.float32)
+
+
+def test_deepseek_decode_runs_and_is_consistent():
+    cfg = _tiny()
+    params = deepseek.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    b, num_pages, mp = 2, 32, 8
+    cache = deepseek.init_latent_cache(cfg, num_pages)
+    bt = jnp.arange(b * mp, dtype=jnp.int32).reshape(b, mp)
+    toks = rng.integers(0, cfg.vocab_size, (b, 5))
+
+    # run 5 steps; then replay the first 4 writes into a fresh cache and
+    # check step-5 logits agree (cache-write correctness)
+    c1 = cache
+    for t in range(5):
+        seq = jnp.full((b,), t + 1, jnp.int32)
+        logits, c1 = deepseek.decode_step(cfg, params,
+                                          jnp.asarray(toks[:, t]), c1, bt,
+                                          seq)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    c2 = cache
+    for t in range(4):
+        seq = jnp.full((b,), t + 1, jnp.int32)
+        _, c2 = deepseek.decode_step(cfg, params, jnp.asarray(toks[:, t]),
+                                     c2, bt, seq)
+    logits2, _ = deepseek.decode_step(cfg, params, jnp.asarray(toks[:, 4]),
+                                      c2, bt, jnp.full((b,), 5, jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deepseek_moe_routing():
+    cfg = _tiny(moe=True)
+    params = deepseek.init_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(1)
+    b = 2
+    cache = deepseek.init_latent_cache(cfg, 32)
+    bt = jnp.arange(b * 8, dtype=jnp.int32).reshape(b, 8)
+    logits, _ = deepseek.decode_step(
+        cfg, params, jnp.asarray(rng.integers(0, cfg.vocab_size, b)),
+        cache, bt, jnp.ones((b,), jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    # MoE numpy cross-check on the layer function
+    lp = params["layers"][0]
+    x = jnp.asarray(rng.standard_normal((b, cfg.hidden_size)), jnp.float32)
+    got = deepseek._moe(cfg, lp, x)
+    xs = np.asarray(x, np.float64)
+    router = np.asarray(lp["router"], np.float64)
+    sc = np.exp(xs @ router)
+    sc = sc / sc.sum(-1, keepdims=True)
+    want = np.zeros_like(xs)
+    for bi in range(b):
+        top = np.argsort(sc[bi])[::-1][:cfg.num_experts_per_tok]
+        wts = sc[bi, top] / sc[bi, top].sum()
+        for wt, e in zip(wts, top):
+            g = np.asarray(lp["e_gate"][e], np.float64)
+            u = np.asarray(lp["e_up"][e], np.float64)
+            d = np.asarray(lp["e_down"][e], np.float64)
+            silu = lambda z: z / (1 + np.exp(-z))
+            want[bi] += wt * ((silu(xs[bi] @ g) * (xs[bi] @ u)) @ d)
+        want[bi] += (silu(xs[bi] @ np.asarray(lp["s_gate"], np.float64))
+                     * (xs[bi] @ np.asarray(lp["s_up"], np.float64))
+                     ) @ np.asarray(lp["s_down"], np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
