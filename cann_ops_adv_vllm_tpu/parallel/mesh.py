@@ -15,6 +15,9 @@ src/); every multi-chip strategy here is new, idiomatic-JAX work:
   flash-decode log-sum-exp combine — the cross-chip generalization of the
   reference's intra-chip splitKV (tiling_check.cc:680-702, split header
   :2229-2323).
+* **ep** — expert parallelism for MoE models (models.deepseek): the expert
+  weight tables shard on the expert axis; every shard evaluates the
+  routed experts it owns and contributions combine with one ``psum``.
 """
 
 from __future__ import annotations
@@ -25,13 +28,14 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, ep: int = 1,
+              devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    need = dp * tp * sp
+    need = dp * tp * sp * ep
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.asarray(devices[:need]).reshape(dp, tp, sp)
-    return Mesh(arr, axis_names=("dp", "tp", "sp"))
+    arr = np.asarray(devices[:need]).reshape(dp, tp, sp, ep)
+    return Mesh(arr, axis_names=("dp", "tp", "sp", "ep"))
 
 
 def param_specs(num_layers: int, sparse: bool) -> dict:

@@ -113,6 +113,57 @@ def _local_positions(positions, position_lens, block_table, sp_idx, sp_size):
     return local_slots, local_lens, local_table
 
 
+def ep_moe(mesh, cfg):
+    """Expert-parallel MoE layer over mesh axis "ep".
+
+    Expert weight tables ([E, …]) shard on the expert axis; routing runs
+    replicated, each shard evaluates only the selected experts it owns
+    (out-of-shard selections contribute zero), and the partial outputs
+    combine with one ``psum`` over ICI.  Shared experts are replicated and
+    added on shard 0 only (so the psum doesn't multiply them).
+
+    cfg: models.deepseek.DeepSeekConfig with ``num_experts`` set.
+    """
+    ep = mesh.shape["ep"]
+    if cfg.num_experts % ep:
+        raise ValueError(f"num_experts {cfg.num_experts} not divisible by "
+                         f"ep={ep}")
+
+    expert_spec = P("ep", None, None)
+    in_specs = (P(), {  # x replicated; layer params:
+        "router": P(), "e_gate": expert_spec, "e_up": expert_spec,
+        "e_down": expert_spec, "s_gate": P(), "s_up": P(), "s_down": P(),
+    })
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=P(), check_vma=False)
+    def moe(x, lp):
+        e_local = lp["e_gate"].shape[0]
+        lo = jax.lax.axis_index("ep") * e_local
+        scores = jax.nn.softmax(
+            x.astype(jnp.float32) @ lp["router"].astype(jnp.float32), -1)
+        top_w, top_i = jax.lax.top_k(scores, cfg.num_experts_per_tok)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+        local = top_i - lo                                  # [B, K]
+        mine = (local >= 0) & (local < e_local)
+        li = jnp.clip(local, 0, e_local - 1)
+        eg, eu, ed = lp["e_gate"][li], lp["e_up"][li], lp["e_down"][li]
+        hmid = (jax.nn.silu(jnp.einsum("bh,bkhi->bki", x, eg))
+                * jnp.einsum("bh,bkhi->bki", x, eu))
+        y_k = jnp.einsum("bki,bkih->bkh", hmid, ed)
+        w = jnp.where(mine, top_w, 0.0).astype(y_k.dtype)
+        y = jnp.einsum("bk,bkh->bh", w, y_k)
+        if cfg.n_shared_experts:
+            shared = (jax.nn.silu(x @ lp["s_gate"]) * (x @ lp["s_up"])
+                      ) @ lp["s_down"]
+            y = y + jnp.where(jax.lax.axis_index("ep") == 0, 1.0, 0.0
+                              ).astype(y.dtype) * shared
+        return jax.lax.psum(y, "ep")
+
+    return moe
+
+
 def sp_sparse_attention(mesh, *, page_size, sm_scale=None, ppcb=8):
     """Sequence-parallel sparse paged attention over mesh axis "sp".
 

@@ -146,3 +146,30 @@ class TestSequenceParallel:
                                 jnp.asarray(positions), jnp.asarray(plens)))
         assert np.all(np.isfinite(got))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ep_moe_matches_single_device():
+    """Expert-parallel MoE == the replicated MoE layer (models.deepseek)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from cann_ops_adv_vllm_tpu.models import deepseek
+    from cann_ops_adv_vllm_tpu.parallel.mesh import make_mesh
+    from cann_ops_adv_vllm_tpu.parallel.sharded import ep_moe
+
+    cfg = dc.replace(deepseek.TINY_DEEPSEEK_MOE, num_experts=8,
+                     num_experts_per_tok=3, dtype=jnp.float32)
+    params = deepseek.init_params(cfg, jax.random.key(0))
+    lp = {k: params["layers"][0][k]
+          for k in ("router", "e_gate", "e_up", "e_down",
+                    "s_gate", "s_up", "s_down")}
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, cfg.hidden_size)),
+        jnp.float32)
+
+    want = deepseek._moe(cfg, lp, x)
+    mesh = make_mesh(ep=min(8, len(jax.devices())))
+    got = ep_moe(mesh, cfg)(x, lp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
