@@ -82,12 +82,12 @@ def main():
     # NOTE: kv/bt/... must be explicit jit arguments — closed-over arrays
     # are baked into the program as constants (huge compile payloads).
     def dense_step(qq, kv, bt, seq):
-        o = paged_flash_decode(qq, kv, None, bt, seq, ppcb=8)
+        o = paged_flash_decode(qq, kv, None, bt, seq)
         return qq + o * jnp.bfloat16(1e-6)
 
     def sparse_step(qq, kv, bt, cent, block_ids, seq):
         o, _, _ = sparse_paged_fusion_attention(
-            qq, kv, bt, cent, block_ids, seq, k=512, ppcb=8)
+            qq, kv, bt, cent, block_ids, seq, k=512)
         return qq + o * jnp.bfloat16(1e-6)
 
     t_dense = chain_time(dense_step, q, (kv, bt, seq), ITERS)

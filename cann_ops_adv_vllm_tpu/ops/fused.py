@@ -51,7 +51,7 @@ def sparse_paged_fusion_attention(
     workload_cap_ratio=8,
     force_sink_and_recent=True,
     group_mode="kv_group",
-    ppcb=8,
+    ppcb=None,
     interpret=None,
 ):
     """Fused centroid selection + sparse paged flash attention.
@@ -103,8 +103,9 @@ def sparse_paged_fusion_attention(
     # has no permanently-inactive steps (positions beyond the per-head
     # length are never read)
     if workload_cap_ratio > 0:
+        pp = ppcb if ppcb is not None else 8
         cap_bound = max(block_table.shape[1] // workload_cap_ratio, 1)
-        cap_bound = ((cap_bound + ppcb - 1) // ppcb) * ppcb
+        cap_bound = ((cap_bound + pp - 1) // pp) * pp
         if cap_bound < attn_positions.shape[2]:
             attn_positions = attn_positions[:, :, :cap_bound]
 

@@ -42,7 +42,7 @@ from .paged_attention import _precompute_meta, _slab_call
                      "interpret"),
 )
 def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
-                     sm_scale, page_size=PAGE_SIZE, ppcb=8,
+                     sm_scale, page_size=PAGE_SIZE, ppcb=None,
                      return_lse=False, interpret=None):
     """Latent flash decode: softmax(q·recordᵀ)·record[:, :d_v].
 
@@ -77,7 +77,8 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
     result = _slab_call(
         qg, latent_pages, pids, begs, ends, nblk,
         kv_scales=None, out_quant=None, sm_scale=sm_scale,
-        page_size=page_size, ppcb=ppcb, return_lse=return_lse,
+        page_size=page_size, ppcb=ppcb if ppcb is not None else 32,
+        return_lse=return_lse,
         interpret=interpret, dims=(w, d_v, 0))
     if return_lse:
         out, lse = result
@@ -103,7 +104,7 @@ def absorbed_queries(q_nope, q_rope, w_uk, *, width):
 
 def mla_attention(q_nope, q_rope, latent_pages, block_table, seq_lens,
                   w_uk, w_uv, *, sm_scale=None, page_size=PAGE_SIZE,
-                  ppcb=8, interpret=None):
+                  ppcb=None, interpret=None):
     """Full absorbed MLA decode attention.
 
     Args:

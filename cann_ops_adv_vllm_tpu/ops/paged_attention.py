@@ -570,15 +570,24 @@ def _slab_kernel(
                 k = kvb[:, :k_width]
                 v = kvb[:, v_off:v_off + d_v]
                 if quantized:
-                    k = (k.astype(jnp.float32) * k_scale_ref[h:h + 1, :]
-                         + k_offset_ref[h:h + 1, :])
-                    v = (v.astype(jnp.float32) * v_scale_ref[h:h + 1, :]
-                         + v_offset_ref[h:h + 1, :])
-                q = q_ref[0, h].astype(k.dtype)    # [Gp, D]
+                    # fold per-channel antiquant around the matmuls:
+                    #   q·(k_q·s + o)ᵀ = (q·s)·k_qᵀ + (q·o)  — no [bk, D]
+                    # dequant pass; only a dtype convert touches the slab
+                    q32 = q_ref[0, h].astype(jnp.float32)
+                    q = q32 * k_scale_ref[h:h + 1, :]
+                    q_koff = jnp.sum(q32 * k_offset_ref[h:h + 1, :],
+                                     axis=1, keepdims=True)   # [Gp, 1]
+                    k = k.astype(jnp.float32)
+                    v = v.astype(jnp.float32)
+                else:
+                    q = q_ref[0, h].astype(k.dtype)    # [Gp, D]
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * sm_scale
+                )
+                if quantized:
+                    s = s + q_koff
+                s = s * sm_scale
                 s = jnp.where(col_valid, s, MASK_VALUE)
 
                 m_prev = m_scr[h]
@@ -596,6 +605,11 @@ def _slab_kernel(
                     p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if quantized:
+                    # p·(v_q·s + o) = (p·v_q)·s_chan + (Σp)·o_chan
+                    p_sum = jnp.sum(p, axis=1, keepdims=True)   # [Gp, 1]
+                    o_curr = (o_curr * v_scale_ref[h:h + 1, :]
+                              + p_sum * v_offset_ref[h:h + 1, :])
                 acc_scr[h] = acc_scr[h] * alpha + o_curr
 
             # each head finalizes at its own last block
@@ -759,7 +773,7 @@ def paged_flash_decode(
     out_quant=None,
     sm_scale=None,
     page_size=PAGE_SIZE,
-    ppcb=8,
+    ppcb=None,
     return_lse=False,
     interpret=None,
 ):
@@ -831,6 +845,12 @@ def paged_flash_decode(
         block_table, seq_lens, positions.astype(jnp.int32),
         position_lens.astype(jnp.int32), page_size, num_pages_total,
         kv_start=kv_start)
+
+    # ppcb (pages per compute block): the slab path wants large blocks —
+    # its per-step cost is near-fixed, and the VMEM budget clamp already
+    # adapts to dtype (int8 slabs fit ~2x more pages than bf16)
+    ppcb_slab = ppcb if ppcb is not None else 32
+    ppcb = ppcb if ppcb is not None else 8
 
     # pad the block axis to a multiple of ppcb so the kernel's tail
     # compute-block never indexes past the metadata arrays
@@ -934,7 +954,7 @@ def paged_flash_decode(
             kv_scales=((k_scale, k_offset, v_scale, v_offset)
                        if quantized else None),
             out_quant=((oq_scale, oq_off) if out_quantized else None),
-            sm_scale=sm_scale, page_size=page_size, ppcb=ppcb,
+            sm_scale=sm_scale, page_size=page_size, ppcb=ppcb_slab,
             return_lse=return_lse, interpret=interpret)
         if return_lse:
             out, lse = result

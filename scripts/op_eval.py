@@ -97,13 +97,13 @@ def run_config(b, ctx, ps, *, int8, iters, warmup, mode, topk, cap_ratio,
     def dense_step(qq, kv, bt, seq, *scales):
         o = paged_flash_decode(qq, kv, None, bt, seq,
                                kv_scales=scales or None,
-                               page_size=ps, ppcb=8)
+                               page_size=ps)
         return qq + o.astype(dt) * dt(1e-6)
 
     def sparse_step(qq, kv, bt, cent, bids, seq, *scales):
         o, _, _ = sparse_paged_fusion_attention(
             qq, kv, bt, cent, bids, seq, kv_scales=scales or None, k=topk,
-            page_size=ps, workload_cap_ratio=cap_ratio, ppcb=8)
+            page_size=ps, workload_cap_ratio=cap_ratio)
         return qq + o.astype(dt) * dt(1e-6)
 
     scale_args = tuple(kv_scales) if kv_scales else ()

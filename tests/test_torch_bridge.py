@@ -1,0 +1,77 @@
+"""torch front-end parity: torch tensors in/out, same numbers as JAX api."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from cann_ops_adv_vllm_tpu import api, torch_bridge
+from cann_ops_adv_vllm_tpu.ops.paged_attention import fuse_kv
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    b, h_kv, g, d, ps, P, mp = 2, 2, 4, 128, 16, 32, 8
+    h_q = h_kv * g
+    q = torch.tensor(rng.standard_normal((b, 1, h_q * d)), dtype=torch.float32)
+    k = torch.tensor(rng.standard_normal((h_kv, P, ps, d)), dtype=torch.float32)
+    v = torch.tensor(rng.standard_normal((h_kv, P, ps, d)), dtype=torch.float32)
+    bt = torch.tensor(rng.permutation(P)[:b * mp].reshape(b, mp).astype(np.int32))
+    sl = torch.tensor(rng.integers(1, mp * ps, b).astype(np.int32))
+    return q, k, v, bt, sl, (b, h_q, h_kv, d, ps)
+
+
+def test_incre_flash_attention_torch():
+    q, k, v, bt, sl, (b, h_q, h_kv, d, ps) = _setup()
+    out = torch_bridge.incre_flash_attention(
+        q, k, v, num_heads=h_q, num_key_value_heads=h_kv,
+        block_table=bt, actual_seq_lengths=sl, block_size=ps)
+    assert isinstance(out, torch.Tensor) and out.shape == q.shape
+    want = api.incre_flash_attention(
+        jnp.asarray(q.numpy()), jnp.asarray(k.numpy()),
+        jnp.asarray(v.numpy()), num_heads=h_q, num_key_value_heads=h_kv,
+        block_table=jnp.asarray(bt.numpy()),
+        actual_seq_lengths=jnp.asarray(sl.numpy()), block_size=ps)
+    np.testing.assert_allclose(out.numpy(), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_with_device_cache():
+    q, k, v, bt, sl, (b, h_q, h_kv, d, ps) = _setup(1)
+    rng = np.random.default_rng(1)
+    C, P = 16, k.shape[1]
+    cent = torch.tensor(rng.standard_normal((h_kv, C, d)),
+                        dtype=torch.float32)
+    bids = torch.tensor(rng.integers(0, C, (h_kv, P)).astype(np.int32))
+    cache = torch_bridge.DeviceCache(
+        fuse_kv(jnp.asarray(k.numpy()), jnp.asarray(v.numpy())),
+        l1_cent=cent, block_ids=bids)
+    out, pos, ml = torch_bridge.sparse_paged_fusion_attention(
+        q, cache=cache, block_table=bt, total_seq_len=sl,
+        num_heads=h_q, num_key_value_heads=h_kv, block_size=ps, k=4)
+    assert isinstance(out, torch.Tensor)
+    assert isinstance(pos, torch.Tensor) and pos.dtype == torch.int32
+    assert torch.isfinite(out).all()
+
+
+def test_selection_chain_torch():
+    rng = np.random.default_rng(2)
+    b, h_q, h_kv, d, c, ps = 2, 4, 2, 128, 8, 16
+    P, mp = 32, 8
+    q = torch.tensor(rng.standard_normal((b, h_q, d)), dtype=torch.float32)
+    cent = torch.tensor(rng.standard_normal((h_kv, c, d)),
+                        dtype=torch.float32)
+    bids = torch.tensor(rng.integers(0, c, (h_kv, P)).astype(np.int32))
+    bt = torch.tensor(rng.permutation(P)[:b * mp].reshape(b, mp)
+                      .astype(np.int32))
+    sl = torch.tensor(rng.integers(ps, mp * ps, b).astype(np.int32))
+
+    idx = torch_bridge.compute_cent(q, cent, k=4)
+    assert idx.shape == (b, h_q, 4)
+    pos, lens = torch_bridge.select_position(bids, bt, sl, idx,
+                                             block_size=ps)
+    assert pos.shape[:2] == (b, h_q)
+    pos2, plens, maxlen = torch_bridge.cent_select(q, cent, bids, bt, sl,
+                                                   k=4, block_size=ps)
+    assert maxlen.shape[0] == b
