@@ -239,7 +239,11 @@ def cent_select(q, l1_cent, block_ids, block_table, seq_len, *, k=64,
 
     page_position_length = jnp.broadcast_to(
         lengths[..., None], (*lengths.shape, TPL_PAD)).astype(jnp.int32)
-    max_len = jnp.max(lengths, axis=1).astype(jnp.int64) * block_size
+    # the reference emits int64 here (FlashAttentionKernelNpuOpApi.cpp:1921);
+    # values are ≤ max_page·block_size < 2^31, so use x64 only when enabled
+    # (avoids a truncation warning on every call under JAX's default x32)
+    i64 = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    max_len = jnp.max(lengths, axis=1).astype(i64) * block_size
     max_page_position_length = jnp.broadcast_to(
         max_len[:, None], (bsz, TPL_PAD))
     return positions, page_position_length, max_page_position_length

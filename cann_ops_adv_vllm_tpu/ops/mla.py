@@ -77,7 +77,8 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
     result = _slab_call(
         qg, latent_pages, pids, begs, ends, nblk,
         kv_scales=None, out_quant=None, sm_scale=sm_scale,
-        page_size=page_size, ppcb=ppcb if ppcb is not None else 32,
+        page_size=page_size,
+        ppcb=ppcb if ppcb is not None else (8 if interpret else 32),
         return_lse=return_lse,
         interpret=interpret, dims=(w, d_v, 0))
     if return_lse:

@@ -848,8 +848,11 @@ def paged_flash_decode(
 
     # ppcb (pages per compute block): the slab path wants large blocks —
     # its per-step cost is near-fixed, and the VMEM budget clamp already
-    # adapts to dtype (int8 slabs fit ~2x more pages than bf16)
-    ppcb_slab = ppcb if ppcb is not None else 32
+    # adapts to dtype (int8 slabs fit ~2x more pages than bf16).  Interpret
+    # mode (CPU CI) costs scale with ppcb, so keep it small there.
+    auto_interp = (interpret if interpret is not None
+                   else jax.default_backend() == "cpu")
+    ppcb_slab = ppcb if ppcb is not None else (8 if auto_interp else 32)
     ppcb = ppcb if ppcb is not None else 8
 
     # pad the block axis to a multiple of ppcb so the kernel's tail
