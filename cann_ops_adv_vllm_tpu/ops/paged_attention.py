@@ -279,23 +279,37 @@ def _kernel(
                 shift = slotid_ref[b, hp, i * ppcb + j] * page_size - lo
                 pos_c = jnp.where(in_c, pos_c + shift, pos_c)
 
-        q = q_ref[0, 0].astype(jnp.float32)                    # [Gp, D]
+        q32 = q_ref[0, 0].astype(jnp.float32)                  # [Gp, D]
         kvb = kv_buf[slot]                                     # [bk, 2D]
         # skipped-DMA pages were zeroed at issue time; out-of-window rows
         # of real pages hold stale-but-finite data that the column masks
         # neutralize (p = 0 there)
-        k = kvb[:, :d].astype(jnp.float32)                     # lane slice
-        v = kvb[:, d:].astype(jnp.float32)
-        if quantized and not token_quant:
-            k = (k * k_scale_ref[pl.ds(hk, 1), :]
-                 + k_offset_ref[pl.ds(hk, 1), :])
-            v = (v * v_scale_ref[pl.ds(hk, 1), :]
-                 + v_offset_ref[pl.ds(hk, 1), :])
+        k = kvb[:, :d]                                         # lane slice
+        v = kvb[:, d:]
+        chan_quant = quantized and not token_quant
+        if chan_quant:
+            # fold per-channel antiquant around the matmuls (same identity
+            # as _slab_kernel): no [bk, D] dequant pass, and int8 values
+            # are exact in bf16 so the matmuls stay on the bf16 MXU path
+            q = (q32 * k_scale_ref[pl.ds(hk, 1), :]).astype(jnp.bfloat16)
+            q_koff = jnp.sum(q32 * k_offset_ref[pl.ds(hk, 1), :],
+                             axis=1, keepdims=True)            # [Gp, 1]
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+        elif quantized:
+            # per-token: scales apply post-matmul (identities below)
+            q = q32.astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+        else:
+            q = q32.astype(k.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                       # [Gp, bk]
+        if chan_quant:
+            s = s + q_koff
         # Per-token dequant and score bias act on per-page column segments
         # ([1, page_size] row vectors — lane-aligned, no relayout).  The
         # per-token antiquant identity q·(k_q·s + o)ᵀ = (q·k_qᵀ)·s_col +
@@ -304,7 +318,7 @@ def _kernel(
         if token_quant or bias_ref is not None:
             tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
             if token_quant:
-                qsum = jnp.sum(q, axis=1, keepdims=True)        # [Gp, 1]
+                qsum = jnp.sum(q32, axis=1, keepdims=True)      # [Gp, 1]
             segs = []
             for j in range(ppcb):
                 seg = s[:, j * page_size:(j + 1) * page_size]
@@ -355,15 +369,20 @@ def _kernel(
                 p_segs.append(pseg * vs)
                 vo_acc = vo_acc + jnp.sum(pseg * vo, axis=1, keepdims=True)
             o_curr = jax.lax.dot_general(
-                jnp.concatenate(p_segs, axis=1), v,
+                jnp.concatenate(p_segs, axis=1).astype(v.dtype), v,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + vo_acc
         else:
             o_curr = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if chan_quant:
+                # p·(v_q·s + o) = (p·v_q)·s_chan + (Σp)·o_chan
+                p_sum = jnp.sum(p, axis=1, keepdims=True)       # [Gp, 1]
+                o_curr = (o_curr * v_scale_ref[pl.ds(hk, 1), :]
+                          + p_sum * v_offset_ref[pl.ds(hk, 1), :])
         acc_scr[...] = acc_scr[...] * alpha + o_curr
 
         # --- final block for this (b, hk): normalize and emit ---
@@ -572,13 +591,18 @@ def _slab_kernel(
                 if quantized:
                     # fold per-channel antiquant around the matmuls:
                     #   q·(k_q·s + o)ᵀ = (q·s)·k_qᵀ + (q·o)  — no [bk, D]
-                    # dequant pass; only a dtype convert touches the slab
+                    # dequant pass; only a dtype convert touches the slab.
+                    # int8 values are exact in bf16, so the matmuls run on
+                    # the native bf16 MXU path (fp32 matmuls are ~8x
+                    # slower); scale folding happens in fp32, then q
+                    # rounds to bf16 — the same rounding as standard bf16
+                    # attention.
                     q32 = q_ref[0, h].astype(jnp.float32)
-                    q = q32 * k_scale_ref[h:h + 1, :]
+                    q = (q32 * k_scale_ref[h:h + 1, :]).astype(jnp.bfloat16)
                     q_koff = jnp.sum(q32 * k_offset_ref[h:h + 1, :],
                                      axis=1, keepdims=True)   # [Gp, 1]
-                    k = k.astype(jnp.float32)
-                    v = v.astype(jnp.float32)
+                    k = k.astype(jnp.bfloat16)
+                    v = v.astype(jnp.bfloat16)
                 else:
                     q = q_ref[0, h].astype(k.dtype)    # [Gp, D]
                 s = jax.lax.dot_general(

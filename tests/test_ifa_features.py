@@ -202,7 +202,9 @@ def test_per_token_antiquant():
     want = _dense_numpy(q, k_dq, v_dq, block_table, seq_lens, ps=ps)
     np.testing.assert_allclose(np.asarray(want_xla), want,
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    # kernel runs bf16 MXU matmuls (q rounds to bf16; int8 is exact in
+    # bf16) — 2^-9 rounding, below the int8 quantization noise floor
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-3)
     # and the int8 path stays close to the fp32 ground truth
     ref_fp = _dense_numpy(q, k_pages, v_pages, block_table, seq_lens, ps=ps)
     err = np.abs(np.asarray(got) - ref_fp).max()

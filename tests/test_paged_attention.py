@@ -165,12 +165,15 @@ class TestInt8KV:
         got = np.asarray(paged_flash_decode(
             q, k_q, v_q, bt, seq, kv_scales=scales, page_size=PS))
 
-        # oracle on the dequantized cache must match tightly
+        # oracle on the dequantized cache: the kernel folds the scale into
+        # q and runs bf16 MXU matmuls (int8 values are exact in bf16), so
+        # the only divergence from the f32 oracle is the 2^-9 bf16 rounding
+        # of q — below the int8 quantization noise floor (2^-8 on K)
         k_dq = oracles.dequantize_kv_oracle(k_q, k_s, k_o)
         v_dq = oracles.dequantize_kv_oracle(v_q, v_s, v_o)
         want_dq = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
                                                  block_size=PS)
-        np.testing.assert_allclose(got, want_dq, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got, want_dq, rtol=5e-3, atol=5e-3)
 
         # and the fp32 oracle within quantization tolerance
         want_fp = oracles.paged_attention_oracle(q, kf, vf, bt, seq,
