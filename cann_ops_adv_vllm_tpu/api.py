@@ -297,6 +297,8 @@ def incre_flash_attention(
     prefix_key=None,
     prefix_table=None,
     prefix_lens=None,
+    prefix_antiquant_scale=None,
+    prefix_antiquant_offset=None,
     ppcb=8,
     interpret=None,
 ):
@@ -351,9 +353,23 @@ def incre_flash_attention(
                 or out_quant is not None or kv_start is not None):
             raise NotImplementedError(
                 "shared-prefix mode composes with quantized KV only")
+        prefix_scales = _split_antiquant(
+            prefix_antiquant_scale, prefix_antiquant_offset, n2)
+        if prefix_key.dtype == jnp.int8 and prefix_scales is None:
+            if kv_scales is not None and kv_scales[0].ndim == 2:
+                # per-channel scales are a property of the quantizer, not
+                # of a page pool — the user-KV scales dequantize the prefix
+                # pool too
+                prefix_scales = kv_scales
+            else:
+                raise ValueError(
+                    "int8 prefix_key needs prefix_antiquant_scale/offset "
+                    "(per-token user-KV scales are pool-specific and "
+                    "cannot dequantize the prefix pool)")
         res = shared_prefix_attention(
             q, prefix_key, prefix_table, jnp.asarray(prefix_lens, jnp.int32),
             kv_pages, block_table, seq_lens, kv_scales=kv_scales,
+            prefix_kv_scales=prefix_scales,
             sm_scale=scale_value, page_size=block_size, ppcb=ppcb,
             return_lse=softmax_lse_flag, interpret=interpret)
     else:

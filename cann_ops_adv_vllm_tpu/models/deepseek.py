@@ -82,7 +82,7 @@ def init_params(cfg: DeepSeekConfig, key) -> dict:
                 ).astype(cfg.dtype)
 
     def layer(key):
-        ks = jax.random.split(key, 12)
+        ks = jax.random.split(key, 13)
         p = {
             "w_dkv": dense(ks[1], (h, c + dr)),
             "kv_ln": jnp.ones((c,), cfg.dtype),
@@ -108,7 +108,7 @@ def init_params(cfg: DeepSeekConfig, key) -> dict:
                 sim = im * cfg.n_shared_experts
                 p["s_gate"] = dense(ks[10], (h, sim))
                 p["s_up"] = dense(ks[11], (h, sim))
-                p["s_down"] = dense(ks[6], (sim, h))
+                p["s_down"] = dense(ks[12], (sim, h))
         else:
             p["w_gate"] = dense(ks[6], (h, cfg.intermediate_size))
             p["w_up"] = dense(ks[7], (h, cfg.intermediate_size))

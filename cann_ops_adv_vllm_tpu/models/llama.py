@@ -281,7 +281,7 @@ def prefill(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
 
 
 def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
-                       block_table, start_pos):
+                       block_table, start_pos, valid_lens=None):
     """Process a chunk of T prompt tokens through every layer at once.
 
     Dense causal attention via ops.prefill.paged_prefill_attention (the
@@ -291,8 +291,14 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
     Args:
       token_ids: [B, T]; start_pos: [B] — position of the chunk's first
       token (chunks must be page-aligned or contiguous per sequence).
+      valid_lens: optional [B] int32 — rows ≥ valid_lens[b] of lane b are
+      zero padding: their KV rows are not written, and the returned logits
+      row is the last *valid* token's (causality already keeps valid
+      queries from attending padding positions: padding sits strictly
+      after every valid position).  0 marks an inactive lane.
 
-    Returns (logits of the chunk's last token [B, vocab], new kv_cache).
+    Returns (logits of the chunk's last valid token [B, vocab],
+    new kv_cache).
     """
     from ..ops.prefill import paged_prefill_attention, write_prompt_chunk
 
@@ -313,7 +319,8 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
         k = rope(k.reshape(b, t, nkv, hd), pos, cfg.rope_theta)
         v = v.reshape(b, t, nkv, hd)
         cache_li = write_prompt_chunk(kv_cache[li], k, v, block_table,
-                                      start_pos, page_size=cfg.page_size)
+                                      start_pos, page_size=cfg.page_size,
+                                      valid_lens=valid_lens)
         new_cache.append(cache_li)
         attn = paged_prefill_attention(q, cache_li, block_table, start_pos,
                                        page_size=cfg.page_size,
@@ -323,6 +330,21 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + _mlp(lp, h).astype(cfg.dtype)
 
-    x = rms_norm(x[:, -1], params["ln_f"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if valid_lens is None:
+        last = x[:, -1]
+    else:
+        idx = jnp.clip(valid_lens.astype(jnp.int32) - 1, 0, t - 1)
+        last = jnp.take_along_axis(
+            x, idx[:, None, None], axis=1)[:, 0]
+    last = rms_norm(last, params["ln_f"], cfg.rms_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
     return logits, jnp.stack(new_cache)
+
+
+def make_prefill_fn(cfg: LlamaConfig):
+    """jit-compiled chunked-prefill step bound to a config."""
+    @jax.jit
+    def fn(params, token_ids, kv_cache, block_table, start_pos, valid_lens):
+        return prefill_chunk_step(cfg, params, token_ids, kv_cache,
+                                  block_table, start_pos, valid_lens)
+    return fn

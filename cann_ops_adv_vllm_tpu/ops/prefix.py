@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import PAGE_SIZE
+from ..config import MASK_VALUE, PAGE_SIZE
 from .paged_attention import paged_flash_decode
 
 
@@ -46,8 +46,16 @@ def merge_partial_attention(outs, lses):
     m = jnp.max(lse, axis=0)                                    # [B, H]
     w = jnp.exp(lse - m[None])                                  # [N, B, H]
     denom = jnp.sum(w, axis=0)
-    merged = jnp.einsum("nbh,nbhd->bhd", w, out) / denom[..., None]
-    return merged, m + jnp.log(denom)
+    # all-empty partials (every LSE at MASK_VALUE → denom 0, e.g.
+    # prefix_lens = seq_lens = 0): emit exact zeros + MASK_VALUE LSE,
+    # preserving the plain kernel's empty-tensor invariant
+    # (InitAllZeroOutput analog)
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    merged = jnp.einsum("nbh,nbhd->bhd", w, out) / safe[..., None]
+    merged = jnp.where(denom[..., None] == 0.0, 0.0, merged)
+    lse_out = jnp.where(denom == 0.0, jnp.float32(MASK_VALUE),
+                        m + jnp.log(safe))
+    return merged, lse_out
 
 
 @functools.partial(

@@ -40,6 +40,7 @@ class Request:
     max_new_tokens: int = 32
     #: sampling controls (temperature <= 0 → greedy)
     temperature: float = 0.0
+    top_k: int = 0
     top_p: float = 1.0
     min_p: float = 0.0
     eos_token_id: Optional[int] = None
@@ -53,7 +54,8 @@ class DecodeEngine:
 
     def __init__(self, cfg: llama.LlamaConfig, params, num_pages: int,
                  max_batch: int = 8, max_page: Optional[int] = None,
-                 sample_fn: Optional[Callable] = None, seed: int = 0):
+                 sample_fn: Optional[Callable] = None, seed: int = 0,
+                 prefill_chunk: Optional[int] = None):
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
@@ -72,11 +74,23 @@ class DecodeEngine:
         self.running: dict[int, Request] = {}
         self.slots: list[Optional[int]] = [None] * max_batch
         self._decode = llama.make_decode_fn(cfg)
+        #: chunked prefill: prompts advance `prefill_chunk` tokens per tick
+        #: through one batched prefill_chunk_step (page-sized chunks by
+        #: default; 1 falls back to token-at-a-time through decode)
+        self.prefill_chunk = (cfg.page_size if prefill_chunk is None
+                              else prefill_chunk)
+        self._prefill = (llama.make_prefill_fn(cfg)
+                         if self.prefill_chunk > 1 else None)
+        self._pf_tokens = np.zeros((max_batch, max(self.prefill_chunk, 1)),
+                                   np.int32)
+        self._pf_start = np.zeros((max_batch,), np.int32)
+        self._pf_valid = np.zeros((max_batch,), np.int32)
 
         self._bt_host = np.zeros((max_batch, self.max_page), np.int32)
         self._seq_lens = np.zeros((max_batch,), np.int32)
         self._tokens = np.zeros((max_batch,), np.int32)
         self._temps = np.zeros((max_batch,), np.float32)
+        self._top_ks = np.zeros((max_batch,), np.int32)
         self._top_ps = np.ones((max_batch,), np.float32)
         self._min_ps = np.zeros((max_batch,), np.float32)
         self._prefill_cursor: dict[int, int] = {}
@@ -142,6 +156,7 @@ class DecodeEngine:
             else:
                 token = int(req.generated[-1])
             self._temps[i] = req.temperature
+            self._top_ks[i] = req.top_k
             self._top_ps[i] = req.top_p
             self._min_ps[i] = req.min_p
             self.allocator.append_tokens(seq_id, 1)
@@ -153,14 +168,95 @@ class DecodeEngine:
             any_active = True
         return any_active
 
+    # -- chunked prefill -------------------------------------------------------
+
+    def _sample(self, logits):
+        if self.sample_fn is not None:
+            return np.asarray(self.sample_fn(logits))
+        self._key, step_key = jax.random.split(self._key)
+        return np.asarray(self._sampler(
+            logits, step_key, {
+                "temperature": jnp.asarray(self._temps),
+                "top_k": jnp.asarray(self._top_ks),
+                "top_p": jnp.asarray(self._top_ps),
+                "min_p": jnp.asarray(self._min_ps),
+            }))
+
+    def _finish_or_continue(self, i: int, req: Request, token: int):
+        req.generated.append(token)
+        if (req.eos_token_id is not None and token == req.eos_token_id):
+            req.done = True
+            req.finish_reason = "stop"
+            self._release(i)
+        elif len(req.generated) >= req.max_new_tokens:
+            req.done = True
+            req.finish_reason = "length"
+            self._release(i)
+
+    def _prefill_tick(self, lanes) -> bool:
+        """Advance every prefilling lane by one chunk (one device call).
+
+        A prompt of S tokens costs ceil(S / prefill_chunk) ticks instead of
+        S decode steps; the tick whose chunk covers the last prompt token
+        also samples that request's first generated token (the chunk-step
+        logits are exactly the last prompt token's).
+        """
+        self._pf_tokens[:] = 0
+        self._pf_valid[:] = 0
+        self._pf_start[:] = 0
+        finishing = []
+        for i in lanes:
+            seq_id = self.slots[i]
+            req = self.running[seq_id]
+            cur = self._prefill_cursor[seq_id]
+            n = min(self.prefill_chunk, len(req.prompt) - cur)
+            self._pf_tokens[i, :n] = req.prompt[cur:cur + n]
+            self._pf_start[i] = cur
+            self._pf_valid[i] = n
+            self._temps[i] = req.temperature
+            self._top_ks[i] = req.top_k
+            self._top_ps[i] = req.top_p
+            self._min_ps[i] = req.min_p
+            self.allocator.append_tokens(seq_id, n)
+            self._bt_host[i] = self.allocator.block_table(
+                seq_id, self.max_page, pad_value=0)
+            self._prefill_cursor[seq_id] = cur + n
+            if cur + n == len(req.prompt):
+                finishing.append(i)
+
+        logits, self.kv_cache = self._prefill(
+            self.params,
+            jnp.asarray(self._pf_tokens),
+            self.kv_cache,
+            jnp.asarray(self._bt_host),
+            jnp.asarray(self._pf_start),
+            jnp.asarray(self._pf_valid),
+        )
+        if finishing:
+            next_tokens = self._sample(logits)
+            for i in finishing:
+                self._finish_or_continue(i, self.running[self.slots[i]],
+                                         int(next_tokens[i]))
+        return True
+
     # -- main loop -----------------------------------------------------------
 
     def step(self) -> bool:
         """One engine tick: admit → assemble → model step → sample/advance.
 
+        Prefilling lanes take priority: while any admitted prompt has
+        unprocessed tokens, the tick is one chunked-prefill call (all
+        prefilling lanes batched); otherwise it is one decode call.
+
         Returns False when no work remains.
         """
         self._admit()
+        if self._prefill is not None:
+            lanes = [i for i, sid in enumerate(self.slots)
+                     if sid is not None and self._prefill_cursor[sid]
+                     < len(self.running[sid].prompt)]
+            if lanes:
+                return self._prefill_tick(lanes)
         if not self._assemble():
             return bool(self.waiting)
 
@@ -172,40 +268,20 @@ class DecodeEngine:
             jnp.asarray(self._seq_lens),
             self.block_ids,
         )
-        if self.sample_fn is not None:
-            next_tokens = np.asarray(self.sample_fn(logits))
-        else:
-            self._key, step_key = jax.random.split(self._key)
-            next_tokens = np.asarray(self._sampler(
-                logits, step_key, {
-                    "temperature": jnp.asarray(self._temps),
-                    "top_p": jnp.asarray(self._top_ps),
-                    "min_p": jnp.asarray(self._min_ps),
-                }))
+        next_tokens = self._sample(logits)
 
         for i, seq_id in enumerate(self.slots):
             if seq_id is None:
                 continue
             req = self.running[seq_id]
             cur = self._prefill_cursor[seq_id]
-            emitted = False
             if cur < len(req.prompt):
+                # token-at-a-time prefill (prefill_chunk <= 1 fallback)
                 self._prefill_cursor[seq_id] = cur + 1
                 if cur + 1 == len(req.prompt):
-                    req.generated.append(int(next_tokens[i]))
-                    emitted = True
+                    self._finish_or_continue(i, req, int(next_tokens[i]))
             else:
-                req.generated.append(int(next_tokens[i]))
-                emitted = True
-            if (emitted and req.eos_token_id is not None
-                    and req.generated[-1] == req.eos_token_id):
-                req.done = True
-                req.finish_reason = "stop"
-                self._release(i)
-            elif len(req.generated) >= req.max_new_tokens:
-                req.done = True
-                req.finish_reason = "length"
-                self._release(i)
+                self._finish_or_continue(i, req, int(next_tokens[i]))
         return True
 
     def run(self, max_steps: int = 10_000):

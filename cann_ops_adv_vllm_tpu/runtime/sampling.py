@@ -23,7 +23,7 @@ NEG_INF = -1e30
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def sample(logits, key, *, temperature=None, top_p=None, min_p=None,
-           top_k=0):
+           top_k=0, top_k_per_lane=None):
     """Sample next tokens from [B, V] logits.
 
     Args:
@@ -34,6 +34,8 @@ def sample(logits, key, *, temperature=None, top_p=None, min_p=None,
       min_p:       [B] or scalar in [0, 1); tokens with prob <
                    ``min_p * max_prob`` are masked (0 disables).
       top_k:       static int; 0 disables.
+      top_k_per_lane: [B] int32 — per-lane top-k (0 disables that lane's
+                   filter); composes with / replaces the static ``top_k``.
 
     Returns [B] int32 token ids.
     """
@@ -50,6 +52,15 @@ def sample(logits, key, *, temperature=None, top_p=None, min_p=None,
     if top_k and top_k < v:
         kth = jnp.sort(x, axis=-1)[:, v - top_k][:, None]
         x = jnp.where(x < kth, NEG_INF, x)
+
+    if top_k_per_lane is not None:
+        # sort-based kth threshold (same machinery as top_p): lane b keeps
+        # logits >= the top_k[b]-th largest; top_k == 0 disables the lane
+        tk = jnp.broadcast_to(jnp.asarray(top_k_per_lane, jnp.int32), (b,))
+        sorted_desc = jnp.sort(x, axis=-1)[:, ::-1]
+        idx = jnp.clip(tk - 1, 0, v - 1)
+        kth = jnp.take_along_axis(sorted_desc, idx[:, None], axis=1)
+        x = jnp.where((tk[:, None] > 0) & (x < kth), NEG_INF, x)
 
     if min_p is not None:
         min_p = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (b,))
@@ -82,6 +93,7 @@ def make_sampler(*, top_k=0):
                       temperature=params.get("temperature"),
                       top_p=params.get("top_p"),
                       min_p=params.get("min_p"),
-                      top_k=top_k)
+                      top_k=top_k,
+                      top_k_per_lane=params.get("top_k"))
 
     return fn

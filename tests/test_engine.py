@@ -97,6 +97,53 @@ class TestEngine:
         # all pages recycled after completion
         assert eng.allocator.num_free_pages == 16
 
+    def test_chunked_prefill_matches_token_at_a_time(self):
+        """A 2.5-page prompt completes in ceil(S/chunk) prefill ticks and
+        generates the same greedy tokens as the one-token-per-step path."""
+        params = llama.init_params(CFG, jax.random.key(0))
+        rng = np.random.default_rng(3)
+        prompt = rng.integers(0, CFG.vocab_size, 2 * PS + PS // 2,
+                              dtype=np.int32)
+
+        r_chunk = Request(seq_id=1, prompt=prompt, max_new_tokens=4)
+        eng = DecodeEngine(CFG, params, num_pages=16, max_batch=2,
+                           max_page=8)  # prefill_chunk defaults to page_size
+        eng.add_request(r_chunk)
+        steps = eng.run()
+        # ceil(40/16)=3 prefill ticks (first samples token 1) + 3 decode
+        assert steps == 3 + (r_chunk.max_new_tokens - 1)
+
+        r_tok = Request(seq_id=1, prompt=prompt, max_new_tokens=4)
+        eng1 = DecodeEngine(CFG, params, num_pages=16, max_batch=2,
+                            max_page=8, prefill_chunk=1)
+        eng1.add_request(r_tok)
+        steps1 = eng1.run()
+        assert steps1 == len(prompt) + r_tok.max_new_tokens - 1
+        assert r_chunk.generated == r_tok.generated
+
+    def test_chunked_prefill_two_lanes_different_lengths(self):
+        params = llama.init_params(CFG, jax.random.key(0))
+        eng = DecodeEngine(CFG, params, num_pages=16, max_batch=2,
+                           max_page=4)
+        r1 = Request(seq_id=1, prompt=np.arange(1, PS + 4, dtype=np.int32),
+                     max_new_tokens=3)
+        r2 = Request(seq_id=2, prompt=np.array([4, 5], np.int32),
+                     max_new_tokens=3)
+        eng.add_request(r1)
+        eng.add_request(r2)
+        eng.run()
+        assert r1.done and r2.done
+
+        # same tokens as the token-at-a-time engine
+        for chunked, seq_id, prompt in ((r1.generated, 1, r1.prompt),
+                                        (r2.generated, 2, r2.prompt)):
+            r = Request(seq_id=seq_id, prompt=prompt, max_new_tokens=3)
+            e = DecodeEngine(CFG, params, num_pages=16, max_batch=2,
+                             max_page=4, prefill_chunk=1)
+            e.add_request(r)
+            e.run()
+            assert chunked == r.generated
+
     def test_admission_waits_for_pages(self):
         params = llama.init_params(CFG, jax.random.key(0))
         # 2 pages total: only one request fits at a time
