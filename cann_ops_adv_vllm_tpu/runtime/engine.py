@@ -170,16 +170,28 @@ class DecodeEngine:
 
     # -- chunked prefill -------------------------------------------------------
 
+    @staticmethod
+    def _dev(host_buf):
+        """Host→device copy of a reused staging buffer.
+
+        ``jnp.asarray`` on the CPU backend may alias the numpy buffer
+        zero-copy; since the engine mutates these staging arrays in place on
+        the next tick while the previous (async-dispatched) step may still
+        be reading them, an explicit copy at the device boundary is
+        required for correctness.
+        """
+        return jnp.asarray(np.ascontiguousarray(host_buf).copy())
+
     def _sample(self, logits):
         if self.sample_fn is not None:
             return np.asarray(self.sample_fn(logits))
         self._key, step_key = jax.random.split(self._key)
         return np.asarray(self._sampler(
             logits, step_key, {
-                "temperature": jnp.asarray(self._temps),
-                "top_k": jnp.asarray(self._top_ks),
-                "top_p": jnp.asarray(self._top_ps),
-                "min_p": jnp.asarray(self._min_ps),
+                "temperature": self._dev(self._temps),
+                "top_k": self._dev(self._top_ks),
+                "top_p": self._dev(self._top_ps),
+                "min_p": self._dev(self._min_ps),
             }))
 
     def _finish_or_continue(self, i: int, req: Request, token: int):
@@ -226,11 +238,11 @@ class DecodeEngine:
 
         logits, self.kv_cache = self._prefill(
             self.params,
-            jnp.asarray(self._pf_tokens),
+            self._dev(self._pf_tokens),
             self.kv_cache,
-            jnp.asarray(self._bt_host),
-            jnp.asarray(self._pf_start),
-            jnp.asarray(self._pf_valid),
+            self._dev(self._bt_host),
+            self._dev(self._pf_start),
+            self._dev(self._pf_valid),
         )
         if finishing:
             next_tokens = self._sample(logits)
@@ -262,10 +274,10 @@ class DecodeEngine:
 
         logits, self.kv_cache = self._decode(
             self.params,
-            jnp.asarray(self._tokens),
+            self._dev(self._tokens),
             self.kv_cache,
-            jnp.asarray(self._bt_host),
-            jnp.asarray(self._seq_lens),
+            self._dev(self._bt_host),
+            self._dev(self._seq_lens),
             self.block_ids,
         )
         next_tokens = self._sample(logits)

