@@ -236,6 +236,31 @@ def _split_antiquant(antiquant_scale, antiquant_offset, num_kv_heads):
 
 # --- selection ops ----------------------------------------------------------
 
+def _dequant_query(q, dequant_scale1, op):
+    """Fully-quantized int8-query path (reference QUANT template flag,
+    incre_flash_attention.cpp:590-604; split header :77).
+
+    On TPU the MXU consumes bf16 natively, so the int8 query is
+    dequantized up front (q is [B, H, D] — a few KB, one VPU pass)
+    instead of emulating int8×int8 matmuls; the reference's
+    quant_scale1/dequant_scale2 exist only to service that emulation and
+    have no TPU counterpart (documented deviation — the composition is
+    mathematically the identity this realizes directly).
+
+    ``dequant_scale1``: scalar, per-head [H_q], or per-channel [H_q, D].
+    """
+    if q.dtype != jnp.int8:
+        return q
+    if dequant_scale1 is None:
+        raise ValueError(f"{op}: int8 query requires dequant_scale1")
+    scale = jnp.asarray(dequant_scale1, jnp.float32)
+    if scale.ndim == 1:
+        scale = scale[None, :, None]
+    elif scale.ndim == 2:
+        scale = scale[None, :, :]
+    return (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+
+
 def compute_cent(query, l1_cent, *, k=TOPK_STANDALONE, num_heads=None,
                  input_layout=None):
     """Top-k centroid indices — ``custom_ops.compute_cent`` parity
@@ -290,6 +315,8 @@ def incre_flash_attention(
     alibi_slopes=None,
     antiquant_scale=None,
     antiquant_offset=None,
+    dequant_scale1=None,
+    kv_int4=False,
     kv_padding_size=None,
     quant_scale2=None,
     quant_offset2=None,
@@ -320,6 +347,7 @@ def incre_flash_attention(
     """
     n2 = num_key_value_heads or num_heads
     q = _q_to_bnd(query, num_heads, input_layout)
+    q = _dequant_query(q, dequant_scale1, "incre_flash_attention")
     b = q.shape[0]
 
     if block_table is None:
@@ -378,7 +406,8 @@ def incre_flash_attention(
             kv_scales=kv_scales, kv_start=kv_start, bias_pages=bias,
             alibi_slopes=alibi_slopes, out_quant=out_quant,
             sm_scale=scale_value, page_size=block_size, ppcb=ppcb,
-            return_lse=softmax_lse_flag, interpret=interpret)
+            return_lse=softmax_lse_flag, interpret=interpret,
+            kv_int4=kv_int4)
 
     if softmax_lse_flag:
         out, lse = res
@@ -406,6 +435,8 @@ def sparse_paged_attention(
     alibi_slopes=None,
     antiquant_scale=None,
     antiquant_offset=None,
+    dequant_scale1=None,
+    kv_int4=False,
     quant_scale2=None,
     quant_offset2=None,
     softmax_lse_flag=False,
@@ -424,6 +455,7 @@ def sparse_paged_attention(
     """
     n2 = num_key_value_heads or num_heads
     q = _q_to_bnd(query, num_heads, input_layout)
+    q = _dequant_query(q, dequant_scale1, "sparse_paged_attention")
     kv_pages = to_native_kv_pages(key, value, num_kv_heads=n2,
                                   kv_layout=kv_layout)
     seq_lens = jnp.asarray(actual_seq_lengths, jnp.int32)
@@ -447,7 +479,8 @@ def sparse_paged_attention(
         q, kv_pages, None, block_table, seq_lens, positions, plen,
         kv_scales=kv_scales, bias_pages=bias, alibi_slopes=alibi_slopes,
         out_quant=out_quant, sm_scale=scale_value, page_size=block_size,
-        ppcb=ppcb, return_lse=softmax_lse_flag, interpret=interpret)
+        ppcb=ppcb, return_lse=softmax_lse_flag, interpret=interpret,
+        kv_int4=kv_int4)
     if softmax_lse_flag:
         out, lse = res
         return _out_from_bnd(out, input_layout), lse
@@ -471,6 +504,8 @@ def sparse_paged_fusion_attention(
     kv_layout="native",
     antiquant_scale=None,
     antiquant_offset=None,
+    dequant_scale1=None,
+    kv_int4=False,
     k=TOPK_FUSED,
     max_page_num=MAX_PAGE_NUM,
     workload_cap_ratio=8,
@@ -488,6 +523,7 @@ def sparse_paged_fusion_attention(
     """
     n2 = num_key_value_heads or num_heads
     q = _q_to_bnd(query, num_heads, input_layout)
+    q = _dequant_query(q, dequant_scale1, "sparse_paged_fusion_attention")
     kv_pages = to_native_kv_pages(key, value, num_kv_heads=n2,
                                   kv_layout=kv_layout)
     kv_scales = _split_antiquant(antiquant_scale, antiquant_offset, n2)
@@ -498,5 +534,6 @@ def sparse_paged_fusion_attention(
         page_size=block_size, max_page_num=max_page_num,
         workload_cap_ratio=workload_cap_ratio,
         force_sink_and_recent=force_sink_and_recent,
-        group_mode=group_mode, ppcb=ppcb, interpret=interpret)
+        group_mode=group_mode, ppcb=ppcb, interpret=interpret,
+        kv_int4=kv_int4)
     return _out_from_bnd(out, input_layout), positions, max_len

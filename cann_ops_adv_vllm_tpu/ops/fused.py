@@ -33,7 +33,7 @@ from .paged_attention import paged_flash_decode
     jax.jit,
     static_argnames=("k", "sm_scale", "page_size", "max_page_num",
                      "workload_cap_ratio", "force_sink_and_recent",
-                     "group_mode", "ppcb", "interpret"),
+                     "group_mode", "ppcb", "interpret", "kv_int4"),
 )
 def sparse_paged_fusion_attention(
     q,
@@ -53,6 +53,7 @@ def sparse_paged_fusion_attention(
     group_mode="kv_group",
     ppcb=None,
     interpret=None,
+    kv_int4=False,
 ):
     """Fused centroid selection + sparse paged flash attention.
 
@@ -113,6 +114,6 @@ def sparse_paged_fusion_attention(
         q, kv_pages, None, block_table[:bsz], total_seq_len,
         attn_positions, attn_lens,
         kv_scales=kv_scales, sm_scale=sm_scale, page_size=page_size,
-        ppcb=ppcb, interpret=interpret,
+        ppcb=ppcb, interpret=interpret, kv_int4=kv_int4,
     )
     return out, positions, max_len

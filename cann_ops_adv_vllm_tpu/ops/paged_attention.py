@@ -131,6 +131,166 @@ def _precompute_meta(block_table, seq_lens, positions, position_lens,
             ends.astype(jnp.int32), nblk)
 
 
+def _unpack_or_slice_kv(kvb, *, packed_int4, k_width, d_v, v_off):
+    """Recover (K, V) from one VMEM record block.
+
+    packed_int4: [bk, D] int8 nibble-packed (K low, V high) — two integer
+    ops per element, no lane relayout.  Otherwise lane slices of the fused
+    record.
+    """
+    if packed_int4:
+        x4 = kvb.astype(jnp.int32)
+        k = ((x4 & 0xF) - ((x4 & 0x8) << 1)).astype(jnp.bfloat16)
+        v = (x4 >> 4).astype(jnp.bfloat16)
+        return k, v
+    return kvb[:, :k_width], kvb[:, v_off:v_off + d_v]
+
+
+def _flash_block_update(
+    q32, k, v, col_valid, m_prev, l_prev, acc_prev, *,
+    sm_scale, ppcb, page_size,
+    quantized, k_token, v_token,
+    k_scale_row=None, k_offset_row=None,     # [1, D] (per-channel K)
+    v_scale_row=None, v_offset_row=None,     # [1, D_v] (per-channel V)
+    ts_page=None,      # callable j -> [n_rows, ps] f32 per-token scales
+    seg_window=None,   # callable j -> (beg, end) scalars (token validity)
+    bias_row=None,     # callable j -> [1, ps] f32 additive score bias
+    alibi=None,        # (slope_col [Gp or 1, 1], dist [1, bk]) f32
+):
+    """One flash-attention block update — the math shared by `_kernel` and
+    `_slab_kernel` (FlashSoftmax-V2 running state + the antiquant folding
+    identities; reference split header :2564-2720, :1752-1868).
+
+    K and V antiquant modes are independent (reference
+    PER_CHANNEL_TOKEN_MODE = 2 — K per-channel + V per-token, split header
+    :71-82): a per-channel half folds around its matmul; a per-token half
+    applies to per-page column segments post-matmul.
+
+    Returns (m_next, l_next, acc_next) with the same shapes as the inputs.
+    """
+    chan_k = quantized and not k_token
+    chan_v = quantized and not v_token
+    if quantized:
+        if chan_k:
+            # fold per-channel antiquant around the matmul: no [bk, D]
+            # dequant pass, and int8/int4 values are exact in bf16 so the
+            # matmuls stay on the native bf16 MXU path (fp32 matmuls are
+            # ~8x slower); scale folding happens in fp32, then q rounds to
+            # bf16 — the same rounding as standard bf16 attention
+            q = (q32 * k_scale_row).astype(jnp.bfloat16)
+            q_koff = jnp.sum(q32 * k_offset_row, axis=1,
+                             keepdims=True)                    # [Gp, 1]
+        else:
+            q = q32.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+    else:
+        q = q32.astype(k.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # [Gp, bk]
+    if chan_k:
+        s = s + q_koff
+
+    # Per-token dequant and score bias act on per-page column segments
+    # ([1, page_size] row vectors — lane-aligned, no relayout).  The
+    # per-token antiquant identity q·(k_q·s + o)ᵀ = (q·k_qᵀ)·s_col +
+    # (Σ_d q)·o_col moves the scales behind the matmul (the TPU analog of
+    # the reference's MSD recombination, split header :1752-1868).
+    vt_row = 2 if k_token else 0       # static ts row layout
+    if k_token or bias_row is not None:
+        tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+        if k_token:
+            qsum = jnp.sum(q32, axis=1, keepdims=True)          # [Gp, 1]
+        segs = []
+        for j in range(ppcb):
+            seg = s[:, j * page_size:(j + 1) * page_size]
+            if k_token:
+                # skipped-DMA pages hold garbage scales (NaN/inf):
+                # neutralize them so 0-weight columns stay finite
+                beg, end = seg_window(j)
+                sv = (tok_s >= beg) & (tok_s < end)
+                ts = ts_page(j)
+                ks = jnp.where(sv, ts[0:1, :], 1.0)
+                ko = jnp.where(sv, ts[1:2, :], 0.0)
+                seg = seg * ks + qsum * ko
+            seg = seg * sm_scale
+            if bias_row is not None:
+                seg = seg + bias_row(j)
+            segs.append(seg)
+        s = jnp.concatenate(segs, axis=1)
+    else:
+        s = s * sm_scale
+    if alibi is not None:
+        slope_col, dist = alibi
+        s = s + slope_col * dist
+    s = jnp.maximum(s, MASK_VALUE)
+    s = jnp.where(col_valid, s, MASK_VALUE)
+
+    # --- online softmax update (FlashSoftmax-V2 analog) ---
+    m_curr = jnp.max(s, axis=1, keepdims=True)                  # [Gp, 1]
+    m_next = jnp.maximum(m_prev[:, :1], m_curr)
+    alpha = jnp.exp(m_prev[:, :1] - m_next)
+    p = jnp.exp(s - m_next)                                     # [Gp, bk]
+    p = jnp.where(col_valid, p, 0.0)
+    l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    if v_token:
+        # p·(v_q·s + o) = (p·s_col)·v_q + (Σ_t p_t·o_t) — the offset term
+        # broadcasts over the head dim
+        tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+        p_segs, vo_acc = [], jnp.zeros((p.shape[0], 1), jnp.float32)
+        for j in range(ppcb):
+            beg, end = seg_window(j)
+            sv = (tok_s >= beg) & (tok_s < end)
+            ts = ts_page(j)
+            vs = jnp.where(sv, ts[vt_row:vt_row + 1, :], 0.0)
+            vo = jnp.where(sv, ts[vt_row + 1:vt_row + 2, :], 0.0)
+            pseg = p[:, j * page_size:(j + 1) * page_size]
+            p_segs.append(pseg * vs)
+            vo_acc = vo_acc + jnp.sum(pseg * vo, axis=1, keepdims=True)
+        o_curr = jax.lax.dot_general(
+            jnp.concatenate(p_segs, axis=1).astype(v.dtype), v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + vo_acc
+    else:
+        o_curr = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if chan_v:
+            # p·(v_q·s + o) = (p·v_q)·s_chan + (Σp)·o_chan
+            p_sum = jnp.sum(p, axis=1, keepdims=True)           # [Gp, 1]
+            o_curr = o_curr * v_scale_row + p_sum * v_offset_row
+
+    return (jnp.broadcast_to(m_next, m_prev.shape),
+            jnp.broadcast_to(l_next, l_prev.shape),
+            acc_prev * alpha + o_curr)
+
+
+def _finalize_head(acc, m, l, oq_scale, oq_off, out_dtype, lse_shape):
+    """Normalize the flash accumulator and (optionally) post-quantize.
+
+    Returns (o, lse) — lse is None when lse_shape is None.
+    """
+    l1 = l[:, :1]
+    l_inv = jnp.where(l1 == 0.0, 0.0, 1.0 / l1)
+    o = acc * l_inv
+    if oq_scale is not None:
+        # post-quant int8 out: y = round(x*scale2 + offset2)
+        o = jnp.round(o * oq_scale + oq_off)
+        o = jnp.clip(o, -128.0, 127.0)
+    lse = None
+    if lse_shape is not None:
+        lse = m[:, :1] + jnp.log(jnp.maximum(l1, 1e-30))
+        lse = jnp.where(l1 == 0.0, MASK_VALUE, lse)
+        lse = jnp.broadcast_to(lse, lse_shape)
+    return o.astype(out_dtype), lse
+
+
 def _kernel(
     # --- scalar prefetch ---
     nblk_ref,       # [B, H_pos] int32
@@ -171,8 +331,11 @@ def _kernel(
     h_kv: int,
     h_pos: int,
     quantized: bool,
-    token_quant: bool,
+    k_token: bool,
+    v_token: bool,
+    packed_int4: bool = False,
 ):
+    token_quant = k_token or v_token
     b = pl.program_id(0)
     hk = pl.program_id(1)
     i = pl.program_id(2)
@@ -284,122 +447,46 @@ def _kernel(
         # skipped-DMA pages were zeroed at issue time; out-of-window rows
         # of real pages hold stale-but-finite data that the column masks
         # neutralize (p = 0 there)
-        k = kvb[:, :d]                                         # lane slice
-        v = kvb[:, d:]
-        chan_quant = quantized and not token_quant
-        if chan_quant:
-            # fold per-channel antiquant around the matmuls (same identity
-            # as _slab_kernel): no [bk, D] dequant pass, and int8 values
-            # are exact in bf16 so the matmuls stay on the bf16 MXU path
-            q = (q32 * k_scale_ref[pl.ds(hk, 1), :]).astype(jnp.bfloat16)
-            q_koff = jnp.sum(q32 * k_offset_ref[pl.ds(hk, 1), :],
-                             axis=1, keepdims=True)            # [Gp, 1]
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
-        elif quantized:
-            # per-token: scales apply post-matmul (identities below)
-            q = q32.astype(jnp.bfloat16)
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
-        else:
-            q = q32.astype(k.dtype)
+        k, v = _unpack_or_slice_kv(kvb, packed_int4=packed_int4,
+                                   k_width=d, d_v=d, v_off=d)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                       # [Gp, bk]
-        if chan_quant:
-            s = s + q_koff
-        # Per-token dequant and score bias act on per-page column segments
-        # ([1, page_size] row vectors — lane-aligned, no relayout).  The
-        # per-token antiquant identity q·(k_q·s + o)ᵀ = (q·k_qᵀ)·s_col +
-        # (Σ_d q)·o_col moves the scales behind the matmul (the TPU analog
-        # of the reference's MSD recombination, split header :1752-1868).
-        if token_quant or bias_ref is not None:
-            tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
-            if token_quant:
-                qsum = jnp.sum(q32, axis=1, keepdims=True)      # [Gp, 1]
-            segs = []
-            for j in range(ppcb):
-                seg = s[:, j * page_size:(j + 1) * page_size]
-                if token_quant:
-                    # skipped-DMA pages hold garbage scales (NaN/inf):
-                    # neutralize them so 0-weight columns stay finite
-                    sv = ((tok_s >= beg_ref[b, hp, i * ppcb + j])
-                          & (tok_s < end_ref[b, hp, i * ppcb + j]))
-                    ks = jnp.where(sv, ts_buf[slot, j, 0:1, :], 1.0)
-                    ko = jnp.where(sv, ts_buf[slot, j, 1:2, :], 0.0)
-                    seg = seg * ks + qsum * ko
-                seg = seg * sm_scale
-                if bias_ref is not None:
-                    seg = seg + bias_ref[0, 0, 0, j:j + 1, :]
-                segs.append(seg)
-            s = jnp.concatenate(segs, axis=1)
-        else:
-            s = s * sm_scale
-        if slopes_ref is not None:
-            dist = (pos_c - qpos_ref[b]).astype(jnp.float32)    # [1, bk]
-            s = s + slopes_ref[hk, :, :1] * dist
-        s = jnp.maximum(s, MASK_VALUE)
-        s = jnp.where(col_valid, s, MASK_VALUE)
-
-        # --- online softmax update (FlashSoftmax-V2 analog) ---
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)             # [Gp, 1]
-        m_next = jnp.maximum(m_prev[:, :1], m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next)
-        p = jnp.exp(s - m_next)                                # [Gp, bk]
-        p = jnp.where(col_valid, p, 0.0)
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-
-        if token_quant:
-            # p·(v_q·s + o) = (p·s_col)·v_q + (Σ_t p_t·o_t) — the offset
-            # term broadcasts over the head dim
-            tok_s = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
-            p_segs, vo_acc = [], jnp.zeros((p.shape[0], 1), jnp.float32)
-            for j in range(ppcb):
-                sv = ((tok_s >= beg_ref[b, hp, i * ppcb + j])
-                      & (tok_s < end_ref[b, hp, i * ppcb + j]))
-                vs = jnp.where(sv, ts_buf[slot, j, 2:3, :], 0.0)
-                vo = jnp.where(sv, ts_buf[slot, j, 3:4, :], 0.0)
-                pseg = p[:, j * page_size:(j + 1) * page_size]
-                p_segs.append(pseg * vs)
-                vo_acc = vo_acc + jnp.sum(pseg * vo, axis=1, keepdims=True)
-            o_curr = jax.lax.dot_general(
-                jnp.concatenate(p_segs, axis=1).astype(v.dtype), v,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + vo_acc
-        else:
-            o_curr = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if chan_quant:
-                # p·(v_q·s + o) = (p·v_q)·s_chan + (Σp)·o_chan
-                p_sum = jnp.sum(p, axis=1, keepdims=True)       # [Gp, 1]
-                o_curr = (o_curr * v_scale_ref[pl.ds(hk, 1), :]
-                          + p_sum * v_offset_ref[pl.ds(hk, 1), :])
-        acc_scr[...] = acc_scr[...] * alpha + o_curr
+        m_new, l_new, acc_new = _flash_block_update(
+            q32, k, v, col_valid, m_scr[...], l_scr[...], acc_scr[...],
+            sm_scale=sm_scale, ppcb=ppcb, page_size=page_size,
+            quantized=quantized, k_token=k_token, v_token=v_token,
+            k_scale_row=(k_scale_ref[pl.ds(hk, 1), :] if quantized
+                         else None),
+            k_offset_row=(k_offset_ref[pl.ds(hk, 1), :] if quantized
+                          else None),
+            v_scale_row=(v_scale_ref[pl.ds(hk, 1), :] if quantized
+                         else None),
+            v_offset_row=(v_offset_ref[pl.ds(hk, 1), :] if quantized
+                          else None),
+            ts_page=(lambda j: ts_buf[slot, j]) if token_quant else None,
+            seg_window=(lambda j: (beg_ref[b, hp, i * ppcb + j],
+                                   end_ref[b, hp, i * ppcb + j])),
+            bias_row=((lambda j: bias_ref[0, 0, 0, j:j + 1, :])
+                      if bias_ref is not None else None),
+            alibi=((slopes_ref[hk, :, :1],
+                    (pos_c - qpos_ref[b]).astype(jnp.float32))
+                   if slopes_ref is not None else None),
+        )
+        m_scr[...] = m_new
+        l_scr[...] = l_new
+        acc_scr[...] = acc_new
 
         # --- final block for this (b, hk): normalize and emit ---
         @pl.when(last_here)
         def _():
-            l = l_scr[:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            o = acc_scr[...] * l_inv
-            if oq_scale_ref is not None:
-                # post-quant int8 out: y = round(x*scale2 + offset2)
-                o = jnp.round(o * oq_scale_ref[hk] + oq_off_ref[hk])
-                o = jnp.clip(o, -128.0, 127.0)
-            o_ref[0, 0] = o.astype(o_ref.dtype)
+            o, lse = _finalize_head(
+                acc_scr[...], m_scr[...], l_scr[...],
+                oq_scale_ref[hk] if oq_scale_ref is not None else None,
+                oq_off_ref[hk] if oq_scale_ref is not None else None,
+                o_ref.dtype,
+                lse_ref.shape[2:] if lse_ref is not None else None)
+            o_ref[0, 0] = o
             if lse_ref is not None:
-                lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-                lse = jnp.where(l == 0.0, MASK_VALUE, lse)
-                lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+                lse_ref[0, 0] = lse
 
 
 def _slab_kernel(
@@ -408,6 +495,8 @@ def _slab_kernel(
     pid_ref,        # [B, H_pos, M] int32
     beg_ref,        # [B, H_pos, M] int32
     end_ref,        # [B, H_pos, M] int32
+    slotid_ref,     # [B, H_pos, M] int32 (logical slots; alibi only) or None
+    qpos_ref,       # [B] int32 (query logical position; alibi only) or None
     # --- inputs ---
     q_ref,          # [1, H_kv, Gp, D] VMEM
     kv_pages_ref,   # [H_kv, P, ps, 2*D] ANY (HBM)
@@ -415,6 +504,9 @@ def _slab_kernel(
     k_offset_ref,
     v_scale_ref,
     v_offset_ref,
+    tok_scale_ref,  # [H_kv, P, n_rows, ps] ANY (per-token quant) or None
+    bias_ref,       # [1, H_b, 1, ppcb, ps] VMEM (score bias) or None
+    slopes_ref,     # [H_kv, Gp, 128] VMEM f32 (alibi) or None
     oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
     oq_off_ref,
     # --- outputs ---
@@ -422,7 +514,9 @@ def _slab_kernel(
     lse_ref,        # [1, H_kv, Gp, 128] VMEM (fp32) or None
     # --- scratch ---
     kv_buf,         # [2, H_kv, ppcb*ps, 2*D] VMEM, kv dtype
-    sem,            # DMA sems [2, H_kv, ppcb]
+    sem,            # DMA sems [2, 1 | H_kv, ppcb]
+    ts_buf,         # [2, H_kv, ppcb, n_rows, ps] VMEM f32 or None
+    ts_sem,         # DMA sems [2, 1 | H_kv, ppcb] or None
     m_scr,          # [H_kv, Gp, 128] f32
     l_scr,          # [H_kv, Gp, 128] f32
     acc_scr,        # [H_kv, Gp, D] f32
@@ -434,10 +528,14 @@ def _slab_kernel(
     batch: int,
     h_kv: int,
     h_pos: int,
+    h_b: int,
     quantized: bool,
+    k_token: bool,
+    v_token: bool,
     k_width: int,
     d_v: int,
     v_off: int,
+    packed_int4: bool = False,
 ):
     """All-heads-per-step flash decode (the fast path).
 
@@ -446,6 +544,12 @@ def _slab_kernel(
     (k_width, d_v, v_off) = (D, D, D); MLA latent records use
     (W, c_kv, 0) — V aliases K's latent prefix
     (ops.mla; reference MLA scaffold incre_flash_attention_tiling_mla.h).
+
+    ``packed_int4``: the record is [ps, D] int8 with the K lane in the low
+    nibble and the V lane in the high nibble (ops.quant.pack_int4_fused);
+    unpacking is two integer ops per element with no lane relayout, and
+    page DMA bytes halve again vs int8 (reference int4 KV,
+    incre_flash_attention.cpp:431-438).
 
     The grid is (batch, kv_block) — every KV head of a block is processed
     in one grid step (statically unrolled; flash state in per-head VMEM
@@ -466,6 +570,7 @@ def _slab_kernel(
     Per-head block counts may differ (sparse): each head finalizes at its
     own last block under ``pl.when``; the grid runs to the max.
     """
+    token_quant = k_token or v_token
     b = pl.program_id(0)
     i = pl.program_id(1)
     bk = ppcb * page_size
@@ -486,6 +591,17 @@ def _slab_kernel(
                         sem.at[slot, 0, j],
                     ),
                 ))
+                if token_quant:
+                    # one strided descriptor fetches every head's scale
+                    # rows for this page, like the KV slab itself
+                    copies.append((
+                        cond, None,
+                        pltpu.make_async_copy(
+                            tok_scale_ref.at[:, pid_ref[bb, 0, idx]],
+                            ts_buf.at[slot, :, j],
+                            ts_sem.at[slot, 0, j],
+                        ),
+                    ))
             else:
                 for h in range(h_kv):
                     cond = end_ref[bb, h, idx] > beg_ref[bb, h, idx]
@@ -498,14 +614,26 @@ def _slab_kernel(
                             sem.at[slot, h, j],
                         ),
                     ))
+                    if token_quant:
+                        copies.append((
+                            cond, None,
+                            pltpu.make_async_copy(
+                                tok_scale_ref.at[h, pid_ref[bb, h, idx]],
+                                ts_buf.at[slot, h, j],
+                                ts_sem.at[slot, h, j],
+                            ),
+                        ))
         return copies
 
     def start_block(bb, ii, slot):
-        for cond, (h, j), dma in block_dmas(bb, ii, slot):
+        for cond, hj, dma in block_dmas(bb, ii, slot):
             @pl.when(cond)
             def _():
                 dma.start()
 
+            if hj is None:
+                continue
+            h, j = hj
             # a skipped page inside a still-active block would leave
             # NaN/inf garbage from an earlier block in the buffer; zero it
             # (rare: tail slots).  Fully-inactive heads skip compute, so
@@ -566,17 +694,25 @@ def _slab_kernel(
         wait_block(b, i, slot)
 
         tok_c = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        use_alibi = slopes_ref is not None
 
         def col_mask(hp):
+            """Column validity (and, for alibi, logical token positions)."""
             valid = jnp.zeros((1, bk), dtype=jnp.bool_)
+            pos_c = tok_c if use_alibi else None
             for j in range(ppcb):
                 beg = beg_ref[b, hp, i * ppcb + j]
                 end = end_ref[b, hp, i * ppcb + j]
                 lo = j * page_size
-                valid = valid | ((tok_c >= lo + beg) & (tok_c < lo + end))
-            return valid
+                in_c = (tok_c >= lo + beg) & (tok_c < lo + end)
+                valid = valid | in_c
+                if use_alibi:
+                    # logical token position = slot*page_size + (tok - lo)
+                    shift = slotid_ref[b, hp, i * ppcb + j] * page_size - lo
+                    pos_c = jnp.where(in_c, pos_c + shift, pos_c)
+            return valid, pos_c
 
-        shared_valid = col_mask(0) if shared else None
+        shared_mask = col_mask(0) if shared else None
 
         for h in range(h_kv):                      # static unroll
             hp = 0 if shared else h
@@ -584,89 +720,80 @@ def _slab_kernel(
 
             @pl.when(head_active)
             def _(h=h, hp=hp):
-                col_valid = shared_valid if shared else col_mask(hp)
+                col_valid, pos_c = (shared_mask if shared
+                                    else col_mask(hp))
                 kvb = kv_buf[slot, h]              # [bk, W], kv dtype
-                k = kvb[:, :k_width]
-                v = kvb[:, v_off:v_off + d_v]
-                if quantized:
-                    # fold per-channel antiquant around the matmuls:
-                    #   q·(k_q·s + o)ᵀ = (q·s)·k_qᵀ + (q·o)  — no [bk, D]
-                    # dequant pass; only a dtype convert touches the slab.
-                    # int8 values are exact in bf16, so the matmuls run on
-                    # the native bf16 MXU path (fp32 matmuls are ~8x
-                    # slower); scale folding happens in fp32, then q
-                    # rounds to bf16 — the same rounding as standard bf16
-                    # attention.
-                    q32 = q_ref[0, h].astype(jnp.float32)
-                    q = (q32 * k_scale_ref[h:h + 1, :]).astype(jnp.bfloat16)
-                    q_koff = jnp.sum(q32 * k_offset_ref[h:h + 1, :],
-                                     axis=1, keepdims=True)   # [Gp, 1]
-                    k = k.astype(jnp.bfloat16)
-                    v = v.astype(jnp.bfloat16)
-                else:
-                    q = q_ref[0, h].astype(k.dtype)    # [Gp, D]
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if quantized:
-                    s = s + q_koff
-                s = s * sm_scale
-                s = jnp.where(col_valid, s, MASK_VALUE)
+                k, v = _unpack_or_slice_kv(
+                    kvb, packed_int4=packed_int4, k_width=k_width,
+                    d_v=d_v, v_off=v_off)
+                q32 = q_ref[0, h].astype(jnp.float32)
 
-                m_prev = m_scr[h]
-                l_prev = l_scr[h]
-                m_curr = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(m_prev[:, :1], m_curr)
-                alpha = jnp.exp(m_prev[:, :1] - m_next)
-                p = jnp.exp(s - m_next)
-                p = jnp.where(col_valid, p, 0.0)
-                l_next = (alpha * l_prev[:, :1]
-                          + jnp.sum(p, axis=1, keepdims=True))
-                m_scr[h] = jnp.broadcast_to(m_next, m_prev.shape)
-                l_scr[h] = jnp.broadcast_to(l_next, l_prev.shape)
-                o_curr = jax.lax.dot_general(
-                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                m_new, l_new, acc_new = _flash_block_update(
+                    q32, k, v, col_valid, m_scr[h], l_scr[h], acc_scr[h],
+                    sm_scale=sm_scale, ppcb=ppcb, page_size=page_size,
+                    quantized=quantized, k_token=k_token, v_token=v_token,
+                    k_scale_row=(k_scale_ref[h:h + 1, :] if quantized
+                                 else None),
+                    k_offset_row=(k_offset_ref[h:h + 1, :] if quantized
+                                  else None),
+                    v_scale_row=(v_scale_ref[h:h + 1, :] if quantized
+                                 else None),
+                    v_offset_row=(v_offset_ref[h:h + 1, :] if quantized
+                                  else None),
+                    ts_page=((lambda j: ts_buf[slot, h, j])
+                             if token_quant else None),
+                    seg_window=(lambda j: (beg_ref[b, hp, i * ppcb + j],
+                                           end_ref[b, hp, i * ppcb + j])),
+                    bias_row=((lambda j: bias_ref[
+                        0, h if h_b == h_kv else 0, 0, j:j + 1, :])
+                        if bias_ref is not None else None),
+                    alibi=((slopes_ref[h, :, :1],
+                            (pos_c - qpos_ref[b]).astype(jnp.float32))
+                           if use_alibi else None),
                 )
-                if quantized:
-                    # p·(v_q·s + o) = (p·v_q)·s_chan + (Σp)·o_chan
-                    p_sum = jnp.sum(p, axis=1, keepdims=True)   # [Gp, 1]
-                    o_curr = (o_curr * v_scale_ref[h:h + 1, :]
-                              + p_sum * v_offset_ref[h:h + 1, :])
-                acc_scr[h] = acc_scr[h] * alpha + o_curr
+                m_scr[h] = m_new
+                l_scr[h] = l_new
+                acc_scr[h] = acc_new
 
             # each head finalizes at its own last block
             @pl.when(head_active & (i + 1 >= n_i_of(b, hp)))
             def _(h=h):
-                l = l_scr[h][:, :1]
-                l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-                o = acc_scr[h] * l_inv
-                if oq_scale_ref is not None:
-                    o = jnp.round(o * oq_scale_ref[h] + oq_off_ref[h])
-                    o = jnp.clip(o, -128.0, 127.0)
-                o_ref[0, h] = o.astype(o_ref.dtype)
+                o, lse = _finalize_head(
+                    acc_scr[h], m_scr[h], l_scr[h],
+                    oq_scale_ref[h] if oq_scale_ref is not None else None,
+                    oq_off_ref[h] if oq_scale_ref is not None else None,
+                    o_ref.dtype,
+                    lse_ref.shape[2:] if lse_ref is not None else None)
+                o_ref[0, h] = o
                 if lse_ref is not None:
-                    lse = m_scr[h][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-                    lse = jnp.where(l == 0.0, MASK_VALUE, lse)
-                    lse_ref[0, h] = jnp.broadcast_to(lse,
-                                                     lse_ref.shape[2:])
+                    lse_ref[0, h] = lse
 
 
-def _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, width, kv_dtype):
-    """Clamp slab ppcb so the double-buffered all-heads slab fits VMEM."""
+def _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, width, kv_dtype,
+                           shared, sem_arrays=1):
+    """Clamp slab ppcb so the double-buffered all-heads slab fits VMEM and
+    the DMA semaphore arrays fit sflag memory (~2 KB: ~500 semaphores; we
+    budget 384 to leave headroom for the grid/barrier semaphores).
+    ``sem_arrays`` is 2 when per-token scales add their own DMA sems."""
     bytes_per_page = h_kv * page_size * width * jnp.dtype(kv_dtype).itemsize
     budget = 10 * 1024 * 1024          # of the ~16 MiB VMEM
-    return max(1, min(ppcb, budget // (2 * bytes_per_page)))
+    sem_rows = 1 if shared else h_kv   # sem shape [2, sem_rows, ppcb]
+    sem_cap = max(1, 384 // (2 * sem_rows * sem_arrays))
+    return max(1, min(ppcb, budget // (2 * bytes_per_page), sem_cap))
 
 
 def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
                out_quant, sm_scale, page_size, ppcb, return_lse, interpret,
-               dims=None):
+               dims=None, packed_int4=False, tok_scales=None, bias=None,
+               slopes=None, slot_pad=None, qpos=None,
+               k_token=False, v_token=False):
     """Build + run the all-heads-per-step pallas_call (H_pos ∈ {1, H_kv}).
 
     ``dims=(k_width, d_v, v_off)`` sets the record geometry (default: the
-    standard fused K|V record (D, D, D)).
+    standard fused K|V record (D, D, D)).  Optional features (bias tiles,
+    per-token scales, ALiBi, post-quant out) all stay on this path — the
+    per-(head, block) `_kernel` remains only as an explicitly requested
+    fallback for A/B comparison.
     """
     b, h_kv, gp, k_width = qg.shape
     width = kv_pages.shape[3]
@@ -675,14 +802,18 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
     k_width, d_v, v_off = dims
     h_pos = pids.shape[1]
     max_blocks = pids.shape[2]
+    token_quant = k_token or v_token
     ppcb = _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, width,
-                                  kv_pages.dtype)
+                                  kv_pages.dtype, h_pos == 1,
+                                  sem_arrays=2 if token_quant else 1)
     m_pad = _cdiv(max_blocks, ppcb) * ppcb
     if m_pad != max_blocks:
         pad = ((0, 0), (0, 0), (0, m_pad - max_blocks))
         pids = jnp.pad(pids, pad)
         begs = jnp.pad(begs, pad)
         ends = jnp.pad(ends, pad)
+        if slot_pad is not None:
+            slot_pad = jnp.pad(slot_pad, pad)
 
     quantized = kv_scales is not None
     if quantized:
@@ -700,11 +831,29 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         oq_scale = oq_off = None
         out_dtype = qg.dtype
 
+    use_alibi = slopes is not None
+    has_bias = bias is not None
+    if has_bias:
+        # tile flat page-major bias [B, H_b, M, ps] to compute blocks
+        h_b = bias.shape[1]
+        if bias.shape[2] != m_pad:
+            bias = jnp.pad(
+                bias, ((0, 0), (0, 0), (0, m_pad - bias.shape[2]),
+                       (0, 0)))
+        bias = bias.reshape(b, h_b, m_pad // ppcb, ppcb, page_size)
+    else:
+        h_b = 1
+
     grid = (b, m_pad // ppcb)
 
     def full_spec(width):
         return pl.BlockSpec((1, h_kv, gp, width),
                             lambda bb, ii, *refs: (bb, 0, 0, 0))
+
+    scalar_ops = [nblk, pids, begs, ends]
+    if use_alibi:
+        scalar_ops += [slot_pad, qpos]
+    n_scalar = len(scalar_ops)
 
     in_ops = [qg, kv_pages, k_scale, k_offset, v_scale, v_offset]
     in_specs = [
@@ -715,6 +864,17 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
+    if token_quant:
+        in_ops.append(tok_scales)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if has_bias:
+        in_ops.append(bias)
+        in_specs.append(pl.BlockSpec(
+            (1, h_b, 1, ppcb, page_size),
+            lambda bb, ii, *refs: (bb, 0, ii, 0, 0)))
+    if use_alibi:
+        in_ops.append(slopes)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if out_quantized:
         in_ops += [oq_scale, oq_off]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -730,8 +890,9 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
     kernel = functools.partial(
         _slab_kernel,
         ppcb=ppcb, page_size=page_size, sm_scale=sm_scale,
-        batch=b, h_kv=h_kv, h_pos=h_pos, quantized=quantized,
-        k_width=k_width, d_v=d_v, v_off=v_off)
+        batch=b, h_kv=h_kv, h_pos=h_pos, h_b=h_b, quantized=quantized,
+        k_token=k_token, v_token=v_token,
+        k_width=k_width, d_v=d_v, v_off=v_off, packed_int4=packed_int4)
 
     def wrapped(*args):
         args = list(args)
@@ -742,28 +903,46 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
             return vals
 
         nblk_r, pid_r, beg_r, end_r = take(4)
+        slotid_r, qpos_r = take(2) if use_alibi else (None, None)
         q_r, kv_r, ks_r, ko_r, vs_r, vo_r = take(6)
+        (ts_r,) = take(1) if token_quant else (None,)
+        (bias_r,) = take(1) if has_bias else (None,)
+        (slopes_r,) = take(1) if use_alibi else (None,)
         oqs_r, oqo_r = take(2) if out_quantized else (None, None)
         o_r = take(1)[0]
         lse_r = take(1)[0] if return_lse else None
-        kvb_r, sem_r, m_r, l_r, acc_r, sl_r = take(6)
-        kernel(nblk_r, pid_r, beg_r, end_r, q_r, kv_r, ks_r, ko_r, vs_r,
-               vo_r, oqs_r, oqo_r, o_r, lse_r,
-               kvb_r, sem_r, m_r, l_r, acc_r, sl_r)
+        kvb_r, sem_r = take(2)
+        tsb_r, tss_r = take(2) if token_quant else (None, None)
+        m_r, l_r, acc_r, sl_r = take(4)
+        kernel(nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
+               q_r, kv_r, ks_r, ko_r, vs_r, vo_r, ts_r, bias_r, slopes_r,
+               oqs_r, oqo_r, o_r, lse_r,
+               kvb_r, sem_r, tsb_r, tss_r, m_r, l_r, acc_r, sl_r)
+
+    sem_rows = 1 if h_pos == 1 else h_kv
+    scratch_shapes = [
+        pltpu.VMEM((2, h_kv, ppcb * page_size, width), kv_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
+    ]
+    if token_quant:
+        n_rows = tok_scales.shape[2]
+        scratch_shapes += [
+            pltpu.VMEM((2, h_kv, ppcb, n_rows, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
+        ]
+    scratch_shapes += [
+        pltpu.VMEM((h_kv, gp, 128), jnp.float32),
+        pltpu.VMEM((h_kv, gp, 128), jnp.float32),
+        pltpu.VMEM((h_kv, gp, d_v), jnp.float32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=n_scalar,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if return_lse else out_specs[0],
-        scratch_shapes=[
-            pltpu.VMEM((2, h_kv, ppcb * page_size, width), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, h_kv, ppcb)),
-            pltpu.VMEM((h_kv, gp, 128), jnp.float32),
-            pltpu.VMEM((h_kv, gp, 128), jnp.float32),
-            pltpu.VMEM((h_kv, gp, d_v), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         wrapped,
@@ -773,13 +952,13 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(nblk, pids, begs, ends, *in_ops)
+    )(*scalar_ops, *in_ops)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "page_size", "ppcb", "return_lse",
-                     "interpret"),
+                     "interpret", "kv_int4", "slab"),
 )
 def paged_flash_decode(
     q,
@@ -800,6 +979,8 @@ def paged_flash_decode(
     ppcb=None,
     return_lse=False,
     interpret=None,
+    kv_int4=False,
+    slab=True,
 ):
     """Flash-decode paged attention over (optionally) selected pages.
 
@@ -821,6 +1002,12 @@ def paged_flash_decode(
     convention ``x*scale + offset``) or per-token ([H_kv, P, page_size]
     each — one scalar per cached row, reference per-token antiquant mode).
 
+    INT4 KV: pass ``kv_int4=True`` with packed pages [H_kv, P, ps, D] int8
+    (ops.quant.pack_int4_fused layout: K lane in the low nibble, V lane in
+    the high nibble) plus ``kv_scales`` as above.  Page DMA bytes halve
+    again vs int8 (reference int4b_t KV,
+    incre_flash_attention.cpp:431-438).
+
     Optional IFA misc features:
       kv_start:      [B] int32 — kv-left-padding: valid tokens occupy
                      logical positions [kv_start, kv_start + seq_len).
@@ -838,12 +1025,17 @@ def paged_flash_decode(
     """
     b, h_q, d = q.shape
     if v_pages is not None:
+        if kv_int4:
+            raise ValueError(
+                "paged_flash_decode: kv_int4 pages are nibble-packed K|V "
+                "records; pass them as k_pages with v_pages=None")
         kv_pages = fuse_kv(k_pages, v_pages)
     else:
         kv_pages = k_pages
     validation.check_attention_inputs(
         "paged_flash_decode", q, kv_pages, block_table, seq_lens,
-        page_size=page_size, quantized=kv_scales is not None)
+        page_size=page_size, quantized=kv_scales is not None,
+        kv_int4=kv_int4)
     h_kv, num_pages_total, _, _ = kv_pages.shape
     g = h_q // h_kv
     gp = max(g, 8)
@@ -893,18 +1085,32 @@ def paged_flash_decode(
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
+    # K and V antiquant modes are detected independently from the scale
+    # ranks: [H_kv, D] = per-channel, [H_kv, P, ps] = per-token.  Mixing
+    # them gives the reference's PER_CHANNEL_TOKEN_MODE = 2 (K per-channel
+    # + V per-token, split header :71-72, used at :1266,:3049,:3462).
     quantized = kv_scales is not None
-    token_quant = quantized and kv_scales[0].ndim == 3
+    k_token = quantized and kv_scales[0].ndim == 3
+    v_token = quantized and kv_scales[2].ndim == 3
+    token_quant = k_token or v_token
     zeros = jnp.zeros((h_kv, d), jnp.float32)
-    if quantized and not token_quant:
-        k_scale, k_offset, v_scale, v_offset = (
-            s.astype(jnp.float32) for s in kv_scales)
-    else:
-        k_scale = k_offset = v_scale = v_offset = zeros
+    k_scale = k_offset = v_scale = v_offset = zeros
+    if quantized and not k_token:
+        k_scale = kv_scales[0].astype(jnp.float32)
+        k_offset = kv_scales[1].astype(jnp.float32)
+    if quantized and not v_token:
+        v_scale = kv_scales[2].astype(jnp.float32)
+        v_offset = kv_scales[3].astype(jnp.float32)
     if token_quant:
-        # [H_kv, P, ps] × 4 → [H_kv, P, 4, ps]: one extra DMA per page
+        # the token-mode halves stack into [H_kv, P, n_rows, ps] — one
+        # extra (slab) DMA per page; row layout is static (K rows first)
+        rows = []
+        if k_token:
+            rows += [kv_scales[0], kv_scales[1]]
+        if v_token:
+            rows += [kv_scales[2], kv_scales[3]]
         tok_scales = jnp.stack(
-            [s.astype(jnp.float32) for s in kv_scales], axis=2)
+            [s.astype(jnp.float32) for s in rows], axis=2)
     else:
         tok_scales = None
 
@@ -939,15 +1145,10 @@ def paged_flash_decode(
                 f"paged_flash_decode: bias_pages covers "
                 f"{bias_pages.shape[2]} page slots < max_blocks="
                 f"{max_blocks}")
-        bias = bias_pages.astype(jnp.float32)
-        if bias.shape[2] != m_pad:
-            bias = jnp.pad(
-                bias, ((0, 0), (0, 0), (0, m_pad - bias.shape[2]), (0, 0)))
-        # one tile per compute block: [B, H_b, m_pad/ppcb, ppcb, ps]
-        bias = bias.reshape(b, h_b, m_pad // ppcb, ppcb, page_size)
+        bias_flat = bias_pages.astype(jnp.float32)   # [B, H_b, M, ps]
     else:
         h_b = 1
-        bias = None
+        bias_flat = None
 
     out_quantized = out_quant is not None
     if out_quantized:
@@ -969,26 +1170,40 @@ def paged_flash_decode(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # Fast path: all heads of a block in one grid step.  Shared page list
-    # (dense) additionally collapses the per-head DMAs into one strided
-    # slab descriptor per page.  Features that need per-(head, block)
-    # streams (bias tiles, per-token scales) or in-kernel alibi stay on
-    # the general kernel.
-    if (h_pos in (1, h_kv) and not token_quant and not has_bias
-            and not use_alibi):
+    # Fast path (the default): all heads of a block in one grid step.
+    # Shared page lists (dense) additionally collapse the per-head DMAs
+    # into one strided slab descriptor per page.  Every feature (bias
+    # tiles, per-token scales, ALiBi, post-quant out, int4) runs here;
+    # the per-(head, block) `_kernel` below remains only as an explicitly
+    # requested fallback (``slab=False``) for A/B comparison.
+    if slab and h_pos in (1, h_kv):
         result = _slab_call(
             qg, kv_pages, pids, begs, ends, nblk,
             kv_scales=((k_scale, k_offset, v_scale, v_offset)
                        if quantized else None),
             out_quant=((oq_scale, oq_off) if out_quantized else None),
             sm_scale=sm_scale, page_size=page_size, ppcb=ppcb_slab,
-            return_lse=return_lse, interpret=interpret)
+            return_lse=return_lse, interpret=interpret,
+            dims=(d, d, d) if kv_int4 else None, packed_int4=kv_int4,
+            tok_scales=tok_scales, bias=bias_flat, slopes=slopes,
+            slot_pad=slot_pad, qpos=qpos,
+            k_token=k_token, v_token=v_token)
         if return_lse:
             out, lse = result
             out = out[:, :, :g, :].reshape(b, h_q, d)
             lse = lse[:, :, :g, 0].reshape(b, h_q)
             return out, lse
         return result[:, :, :g, :].reshape(b, h_q, d)
+
+    if has_bias:
+        # one tile per compute block: [B, H_b, m_pad/ppcb, ppcb, ps]
+        bias = bias_flat
+        if bias.shape[2] != m_pad:
+            bias = jnp.pad(
+                bias, ((0, 0), (0, 0), (0, m_pad - bias.shape[2]), (0, 0)))
+        bias = bias.reshape(b, h_b, m_pad // ppcb, ppcb, page_size)
+    else:
+        bias = None
 
     grid = (b, h_kv, m_pad // ppcb)
 
@@ -1005,7 +1220,9 @@ def paged_flash_decode(
         h_kv=h_kv,
         h_pos=h_pos,
         quantized=quantized,
-        token_quant=token_quant,
+        k_token=k_token,
+        v_token=v_token,
+        packed_int4=kv_int4,
     )
 
     # --- assemble the (feature-dependent) operand lists ---
@@ -1050,12 +1267,14 @@ def paged_flash_decode(
         out_specs.append(head_spec(128))
 
     scratch_shapes = [
-        pltpu.VMEM((2, ppcb * page_size, 2 * d), kv_pages.dtype),
+        pltpu.VMEM((2, ppcb * page_size, kv_pages.shape[3]),
+                   kv_pages.dtype),
         pltpu.SemaphoreType.DMA((2, ppcb)),
     ]
     if token_quant:
         scratch_shapes += [
-            pltpu.VMEM((2, ppcb, 4, page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb, tok_scales.shape[2], page_size),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2, ppcb)),
         ]
     scratch_shapes += [
@@ -1151,17 +1370,18 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
 
     kq = k_pages.astype(jnp.float32)
     vq = v_pages.astype(jnp.float32)
-    token_quant = kv_scales is not None and kv_scales[0].ndim == 3
-    if kv_scales is not None and not token_quant:
-        k_scale, k_offset, v_scale, v_offset = (
-            s.astype(jnp.float32) for s in kv_scales)
-        kq = kq * k_scale[:, None, None, :] + k_offset[:, None, None, :]
-        vq = vq * v_scale[:, None, None, :] + v_offset[:, None, None, :]
-    elif token_quant:
-        k_scale, k_offset, v_scale, v_offset = (
-            s.astype(jnp.float32)[..., None] for s in kv_scales)
-        kq = kq * k_scale + k_offset
-        vq = vq * v_scale + v_offset
+    if kv_scales is not None:
+        # K and V antiquant modes are independent (rank 2 = per-channel,
+        # rank 3 = per-token — reference PER_CHANNEL_TOKEN_MODE = 2)
+        def dequant(pages, scale, offset):
+            scale = scale.astype(jnp.float32)
+            offset = offset.astype(jnp.float32)
+            if scale.ndim == 3:                        # per-token
+                return pages * scale[..., None] + offset[..., None]
+            return (pages * scale[:, None, None, :]
+                    + offset[:, None, None, :])
+        kq = dequant(kq, kv_scales[0], kv_scales[1])
+        vq = dequant(vq, kv_scales[2], kv_scales[3])
 
     idx_valid = (jnp.arange(max_blocks)[None, None, :]
                  < position_lens[:, :, None])                       # [B,Hp,M]

@@ -61,6 +61,59 @@ def dequantize_kv(kv_q, scale, offset):
 
 
 @jax.jit
+def pack_int4_fused(kv_q):
+    """Pack an int4-quantized fused K|V record into one byte per (row, lane).
+
+    [..., rows, 2*D] int8 values in [-8, 7] → [..., rows, D] int8 with the
+    K lane in the **low** nibble and the matching V lane in the **high**
+    nibble: ``byte[..., j] = (V[..., D+j] << 4) | (K[..., j] & 0xF)``.
+
+    This layout is chosen for the TPU kernel: unpacking is two integer ops
+    per element with **no lane interleave/relayout** (K = sign-extended low
+    nibble, V = arithmetic-shift high nibble), and page DMA bytes halve
+    again vs int8 (reference int4 KV: incre_flash_attention.cpp:431-438,
+    ``int4b_t``).
+    """
+    d = kv_q.shape[-1] // 2
+    k = kv_q[..., :d].astype(jnp.int32)
+    v = kv_q[..., d:].astype(jnp.int32)
+    return ((k & 0xF) | (v << 4)).astype(jnp.int8)
+
+
+@jax.jit
+def unpack_int4_fused(packed):
+    """Inverse of :func:`pack_int4_fused`: [..., rows, D] int8 →
+    [..., rows, 2*D] int8 in [-8, 7] (K lanes first, V lanes after)."""
+    x = packed.astype(jnp.int32)
+    k = (x & 0xF) - ((x & 0x8) << 1)      # sign-extend low nibble
+    v = x >> 4                             # arithmetic shift: high nibble
+    return jnp.concatenate([k, v], axis=-1).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def quantize_kv_int4(kv, mode="per_channel"):
+    """Quantize fused K|V records to packed int4 pages.
+
+    K and V lane halves are quantized independently (the kernel's 4-tuple
+    ``kv_scales`` convention).
+
+    Args:
+      kv:   [H_kv, P, page_size, 2*D] float fused records.
+      mode: "per_channel" or "per_token" (see :func:`quantize_kv`).
+
+    Returns (packed [H_kv, P, page_size, D] int8,
+             (k_scale, k_offset, v_scale, v_offset) fp32 —
+             [H_kv, D] each for per_channel, [H_kv, P, page_size] each for
+             per_token).
+    """
+    d = kv.shape[-1] // 2
+    k_q, k_s, k_o = quantize_kv(kv[..., :d], mode=mode, bits=4)
+    v_q, v_s, v_o = quantize_kv(kv[..., d:], mode=mode, bits=4)
+    packed = pack_int4_fused(jnp.concatenate([k_q, v_q], axis=-1))
+    return packed, (k_s, k_o, v_s, v_o)
+
+
+@jax.jit
 def pack_int4(values):
     """Pack int4 values (int8 storage, range [-8,7]) two-per-byte along the
     second-to-last axis.  [..., rows, D] → [..., rows//2, D] int8."""

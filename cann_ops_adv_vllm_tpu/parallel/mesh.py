@@ -62,8 +62,14 @@ def param_specs(num_layers: int, sparse: bool) -> dict:
 
 
 def kv_cache_spec() -> P:
-    """[L, H_kv, P, ps, 2D]: heads over tp, page pool over sp."""
-    return P(None, "tp", "sp", None, None)
+    """[L, H_kv, P, ps, 2D]: heads over tp, page pool over (sp, dp).
+
+    dp shards the pool in contiguous blocks: replica d owns pages
+    [d·P/dp, (d+1)·P/dp) and its (dp-sharded) block-table rows hold LOCAL
+    page ids into that slice — each data-parallel replica has its own
+    private page pool, as a replicated serving deployment would.
+    """
+    return P(None, "tp", ("sp", "dp"), None, None)
 
 
 def shard_params(params, mesh: Mesh, sparse: bool):

@@ -49,12 +49,17 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh):
         num_kv_heads=cfg.num_kv_heads // tp)
 
     pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids))
-    bids_spec = (P(None, "tp", None) if cfg.num_centroids else P())
+    bids_spec = (P(None, "tp", "dp") if cfg.num_centroids else P())
 
+    # dp shards the batch (tokens / block tables / seq_lens / logits) and
+    # the page pool (contiguous slice per replica; block tables hold local
+    # ids) — params replicated over dp, nothing inside the step changes:
+    # shard_map hands each replica its local batch and local pool.
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(pspecs, P(), kv_cache_spec(), P(), P(), bids_spec),
-        out_specs=(P(), kv_cache_spec()),
+        in_specs=(pspecs, P("dp"), kv_cache_spec(), P("dp", None),
+                  P("dp"), bids_spec),
+        out_specs=(P("dp"), kv_cache_spec()),
         check_vma=False,
     )
     def step(params, tokens, kv_cache, block_table, seq_lens, block_ids):

@@ -32,7 +32,7 @@ def check_dtype(op, name, arr, allowed):
 
 
 def check_attention_inputs(op, q, kv_pages, block_table, seq_lens, *,
-                           page_size, quantized):
+                           page_size, quantized, kv_int4=False):
     check_rank(op, "q", q, 3)
     check_rank(op, "kv_pages", kv_pages, 4)
     check_rank(op, "block_table", block_table, 2)
@@ -48,7 +48,15 @@ def check_attention_inputs(op, q, kv_pages, block_table, seq_lens, *,
     if ps != page_size:
         _fail(op, f"kv_pages page dim {ps} != page_size {page_size} "
                   "(fused records are [H_kv, P, page_size, 2*D])")
-    if two_d != 2 * d:
+    if kv_int4:
+        if not quantized:
+            _fail(op, "kv_int4 requires kv_scales (int4 KV is always "
+                      "quantized)")
+        if two_d != d:
+            _fail(op, f"int4 kv_pages last dim {two_d} != head_dim {d} "
+                      "(nibble-packed K|V records; see "
+                      "ops.quant.pack_int4_fused)")
+    elif two_d != 2 * d:
         _fail(op, f"kv_pages last dim {two_d} != 2*head_dim {2*d} "
                   "(lane-interleaved K|V records; see fuse_kv)")
     if h_q % h_kv:

@@ -1,0 +1,138 @@
+"""Multi-host (DCN) data-parallel decode demo — BASELINE config 5 stepping
+stone.
+
+Runs the dp×tp-sharded decode step (parallel.sharded.tp_decode_step)
+across TWO OS processes joined with ``jax.distributed`` — the same
+mechanics as two TPU hosts over DCN, exercised here on CPU devices so the
+demo runs in CI without multi-host hardware:
+
+* process p contributes 4 local CPU devices; the global mesh is
+  dp=2 (spanning processes — the DCN axis) × tp=4 (within a process —
+  the ICI axis), so the dp batch/pool sharding crosses the host boundary
+  and the tp psums stay host-local, exactly the layout a 2-host TPU
+  deployment would use.
+* inputs are assembled with ``jax.make_array_from_process_local_data``:
+  each process feeds only ITS dp shard of tokens / block tables /
+  seq_lens / page pool (its replica's private pool, local page ids).
+* each process independently verifies its addressable output shard
+  against a local single-device reference — no cross-host result
+  gathering is needed for the parity check.
+
+Usage:  python scripts/multihost_demo.py          (parent: spawns 2 procs)
+        PROC_ID=<0|1> python scripts/multihost_demo.py   (worker)
+"""
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PROC = 2
+LOCAL_DEVICES = 4
+PORT = int(os.environ.get("MH_PORT", "8476"))
+
+
+def worker(proc_id: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=N_PROC, process_id=proc_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cann_ops_adv_vllm_tpu.models import llama
+    from cann_ops_adv_vllm_tpu.parallel.mesh import (
+        kv_cache_spec, make_mesh, param_specs)
+    from cann_ops_adv_vllm_tpu.parallel.sharded import tp_decode_step
+
+    assert jax.process_count() == N_PROC
+    assert len(jax.devices()) == N_PROC * LOCAL_DEVICES
+
+    cfg = dataclasses.replace(
+        llama.TINY_LLAMA, num_layers=2, num_heads=8, num_kv_heads=4,
+        num_centroids=0, page_size=16, dtype=jnp.float32)
+    dp, tp = N_PROC, LOCAL_DEVICES
+    # jax.devices() orders process-major: reshaping (dp, tp, 1, 1) puts
+    # each process's 4 local devices in one dp row → dp crosses DCN,
+    # tp stays intra-host
+    mesh = make_mesh(dp=dp, tp=tp, sp=1, devices=jax.devices())
+
+    b_local, pool, mp = 2, 16, 8
+    b = b_local * dp
+    num_pages = pool * dp
+
+    # identical params on every process → replicated global arrays
+    params = llama.init_params(cfg, jax.random.key(0))
+    pspecs = param_specs(cfg.num_layers, sparse=False)
+    params_g = jax.tree.map(
+        lambda x, s: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, s), np.asarray(x)),
+        params, pspecs, is_leaf=lambda x: not isinstance(x, (dict, list)))
+
+    def dp_shard(spec, local_np):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), local_np)
+
+    rng = np.random.default_rng(proc_id)       # per-replica data
+    tokens_l = rng.integers(0, cfg.vocab_size, b_local).astype(np.int32)
+    bt_l = np.stack([np.roll(np.arange(mp, dtype=np.int32), i)
+                     for i in range(b_local)])
+    seq_l = np.full((b_local,), 3 * cfg.page_size, np.int32)
+    cache_l = np.zeros((cfg.num_layers, cfg.num_kv_heads, pool,
+                        cfg.page_size, 2 * cfg.head_dim), np.float32)
+    rng_fill = np.random.default_rng(100 + proc_id)
+    cache_l[:] = rng_fill.standard_normal(cache_l.shape).astype(np.float32)
+
+    tokens = dp_shard(P("dp"), tokens_l)
+    bt = dp_shard(P("dp", None), bt_l)
+    seq = dp_shard(P("dp"), seq_l)
+    kv_cache = dp_shard(kv_cache_spec(), cache_l)
+
+    step = tp_decode_step(cfg, mesh)
+    logits, new_cache = step(params_g, tokens, kv_cache, bt, seq)
+    logits.block_until_ready()
+
+    # local reference: this replica's rows against its private pool
+    ref_logits, ref_cache = llama.decode_step(
+        cfg, params, jnp.asarray(tokens_l),
+        jnp.asarray(cache_l), jnp.asarray(bt_l), jnp.asarray(seq_l))
+
+    # logits are sharded over dp and replicated over tp: every local
+    # device holds this process's dp shard — read one copy
+    local = np.asarray(logits.addressable_shards[0].data)
+    np.testing.assert_allclose(local, np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    print(f"[proc {proc_id}] dp-over-DCN decode parity OK "
+          f"(local batch {b_local}/{b}, {jax.process_count()} hosts)")
+    jax.distributed.shutdown()
+
+
+def main():
+    if "PROC_ID" in os.environ:
+        worker(int(os.environ["PROC_ID"]))
+        return
+    procs = []
+    for pid in range(N_PROC):
+        env = dict(os.environ, PROC_ID=str(pid))
+        procs.append(subprocess.Popen([sys.executable, __file__], env=env))
+    rc = 0
+    for p in procs:
+        rc |= p.wait(timeout=420)
+    if rc:
+        sys.exit(rc)
+    print("MULTIHOST DEMO OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ import numpy as np
 from cann_ops_adv_vllm_tpu.ops.fused import sparse_paged_fusion_attention
 from cann_ops_adv_vllm_tpu.ops.paged_attention import (
     fuse_kv, paged_flash_decode)
-from cann_ops_adv_vllm_tpu.ops.quant import quantize_kv
+from cann_ops_adv_vllm_tpu.ops.quant import quantize_kv, quantize_kv_int4
 from cann_ops_adv_vllm_tpu.ops.cent_select import cent_select
 
 
@@ -59,6 +59,9 @@ def main():
     # split back into the 4-tuple the kernel expects
     k8s = (sc[:, :D], off[:, :D], sc[:, D:], off[:, D:])
     kv8.block_until_ready()
+    kv4, k4s = jax.jit(
+        lambda a: quantize_kv_int4(a, mode="per_channel"))(kv)
+    kv4.block_until_ready()
     del k, v
 
     bt = jnp.asarray(
@@ -86,11 +89,23 @@ def main():
                                                 k=512, kv_scales=k8s)
         return qq + o.astype(qq.dtype) * jnp.bfloat16(1e-6)
 
+    def dense4_step(qq, kv, bt, seq):
+        o = paged_flash_decode(qq, kv, None, bt, seq, kv_scales=k4s,
+                               kv_int4=True)
+        return qq + o.astype(qq.dtype) * jnp.bfloat16(1e-6)
+
+    def sparse4_step(qq, kv, bt, cent, bi, seq):
+        o, _, _ = sparse_paged_fusion_attention(qq, kv, bt, cent, bi, seq,
+                                                k=512, kv_scales=k4s,
+                                                kv_int4=True)
+        return qq + o.astype(qq.dtype) * jnp.bfloat16(1e-6)
+
     def select_step(qq, bt, cent, bi, seq):
         p, pl_, ml = cent_select(qq, cent, bi, bt, seq, k=512,
                                  group_mode="kv_group")
-        return qq + (p[:, :HKV, :1] + pl_[:, :HKV, :1]
-                     ).astype(jnp.bfloat16) * jnp.bfloat16(1e-9)
+        dep = (jnp.sum(p).astype(jnp.float32)
+               + jnp.sum(pl_).astype(jnp.float32))
+        return qq + dep.astype(jnp.bfloat16) * jnp.bfloat16(1e-12)
 
     n = args.iters
     res = {}
@@ -100,16 +115,22 @@ def main():
         sparse_step, q, (kv, bt, cent, block_ids, seq), n) * 1e3
     res["sparse_int8_ms"] = chain_time(
         sparse8_step, q, (kv8, bt, cent, block_ids, seq), n) * 1e3
+    res["dense_int4_ms"] = chain_time(dense4_step, q, (kv4, bt, seq),
+                                      n) * 1e3
+    res["sparse_int4_ms"] = chain_time(
+        sparse4_step, q, (kv4, bt, cent, block_ids, seq), n) * 1e3
     res["select_only_ms"] = chain_time(
         select_step, q, (bt, cent, block_ids, seq), n) * 1e3
 
     for k_, v_ in res.items():
         print(f"{k_:>18}: {v_:.3f}")
-    print(f"int8 sparse/dense speedup: "
-          f"{res['dense_int8_ms'] / res['sparse_int8_ms']:.2f}x")
-    print(f"bf16 sparse/dense speedup: "
-          f"{res['dense_bf16_ms'] / res['sparse_bf16_ms']:.2f}x")
+    for name in ("int8", "int4", "bf16"):
+        print(f"{name} sparse/dense speedup: "
+              f"{res[f'dense_{name}_ms'] / res[f'sparse_{name}_ms']:.2f}x")
     print(f"int8 sparse tok/s/chip: {B / res['sparse_int8_ms'] * 1e3:.0f}")
+    print(f"int4 sparse tok/s/chip: {B / res['sparse_int4_ms'] * 1e3:.0f}")
+    import json
+    print(json.dumps({k_: round(v_, 4) for k_, v_ in res.items()}))
 
 
 if __name__ == "__main__":

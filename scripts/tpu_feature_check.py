@@ -87,6 +87,39 @@ print("empty zero-fill:", ok)
 if not ok:
     fails.append("empty")
 
+# --- mixed per-channel-token mode (K chan + V token) ---
+kq8, ks8, ko8 = quantize_kv(k, mode="per_channel")
+got = paged_flash_decode(q, fuse_kv(kq8, vq), None, bt, sl,
+                         kv_scales=(ks8, ko8, vs, vo), page_size=ps,
+                         interpret=False)
+want = paged_attention_xla(q, kq8, vq, bt, sl,
+                           kv_scales=(ks8, ko8, vs, vo), page_size=ps)
+check("chan-token mixed", float(jnp.abs(got - want).max()))
+
+# --- packed int4 KV (dense + sparse) ---
+from cann_ops_adv_vllm_tpu.ops.quant import (  # noqa: E402
+    quantize_kv_int4, unpack_int4_fused)
+
+packed, i4s = quantize_kv_int4(kv, mode="per_channel")
+unp = unpack_int4_fused(packed).astype(jnp.float32)
+k4 = unp[..., :d] * i4s[0][:, None, None, :] + i4s[1][:, None, None, :]
+v4 = unp[..., d:] * i4s[2][:, None, None, :] + i4s[3][:, None, None, :]
+got = paged_flash_decode(q, packed, None, bt, sl, kv_scales=i4s,
+                         kv_int4=True, page_size=ps, interpret=False)
+want = paged_attention_xla(q, k4, v4, bt, sl, page_size=ps)
+check("int4 dense", float(jnp.abs(got - want).max()))
+
+positions = jnp.sort(jnp.asarray(
+    np.stack([np.stack([rng.permutation(mp)[:6] for _ in range(h_kv)])
+              for _ in range(b)]), jnp.int32), axis=2)
+plens = jnp.full((b, h_kv), 5, jnp.int32)
+got = paged_flash_decode(q, packed, None, bt, sl, positions, plens,
+                         kv_scales=i4s, kv_int4=True, page_size=ps,
+                         interpret=False)
+want = paged_attention_xla(q, k4, v4, bt, sl, positions, plens,
+                           page_size=ps)
+check("int4 sparse", float(jnp.abs(got - want).max()))
+
 if fails:
     print("FAILED:", fails)
     sys.exit(1)

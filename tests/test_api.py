@@ -204,3 +204,75 @@ def test_selection_api_wrappers():
     pos2, plens, maxlen = api.cent_select(
         q, l1, bids, bt, sl, k=4, block_size=ps)
     assert pos2.shape[:2] == (b, h_q) and maxlen.shape[0] == b
+
+
+def test_int8_query_dequant_scale1():
+    """Fully-quantized int8-query path (reference QUANT flag,
+    incre_flash_attention.cpp:590-604): int8 q + dequant_scale1 must match
+    the float path on the dequantized query within bf16 tolerance."""
+    rng, q, k, v, bt, sl, (b, h_q, h_kv, d, ps, mp) = _base(seed=7)
+    scale = 0.05
+    q_i8 = jnp.clip(jnp.round(q / scale), -128, 127).astype(jnp.int8)
+    q_deq = (q_i8.astype(jnp.float32) * scale)
+
+    got = api.incre_flash_attention(
+        q_i8.reshape(b, 1, h_q * d), fuse_kv(k, v),
+        num_heads=h_q, num_key_value_heads=h_kv,
+        actual_seq_lengths=sl, block_table=bt, block_size=ps,
+        dequant_scale1=scale)
+    want = api.incre_flash_attention(
+        q_deq.reshape(b, 1, h_q * d), fuse_kv(k, v),
+        num_heads=h_q, num_key_value_heads=h_kv,
+        actual_seq_lengths=sl, block_table=bt, block_size=ps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+    # per-head and per-channel dequant_scale1 shapes are accepted too
+    s_head = jnp.full((h_q,), scale, jnp.float32)
+    got2 = api.incre_flash_attention(
+        q_i8.reshape(b, 1, h_q * d), fuse_kv(k, v),
+        num_heads=h_q, num_key_value_heads=h_kv,
+        actual_seq_lengths=sl, block_table=bt, block_size=ps,
+        dequant_scale1=s_head)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="dequant_scale1"):
+        api.incre_flash_attention(
+            q_i8.reshape(b, 1, h_q * d), fuse_kv(k, v),
+            num_heads=h_q, num_key_value_heads=h_kv,
+            actual_seq_lengths=sl, block_table=bt, block_size=ps)
+
+
+def test_int4_kv_through_api():
+    """kv_int4=True accepts nibble-packed pages + packed antiquant params
+    through the reference-shaped API (reference int4b_t rows,
+    incre_flash_attention.cpp:431-438)."""
+    from cann_ops_adv_vllm_tpu.ops.quant import quantize_kv_int4
+
+    rng, q, k, v, bt, sl, (b, h_q, h_kv, d, ps, mp) = _base(seed=11)
+    kv = fuse_kv(k, v)
+    packed, (k_s, k_o, v_s, v_o) = quantize_kv_int4(kv, mode="per_channel")
+    # reference packed antiquant layout: [2, H_kv, D] (K first)
+    aq_scale = jnp.stack([k_s, v_s])
+    aq_off = jnp.stack([k_o, v_o])
+
+    got = api.incre_flash_attention(
+        q.reshape(b, 1, h_q * d), packed,
+        num_heads=h_q, num_key_value_heads=h_kv,
+        actual_seq_lengths=sl, block_table=bt, block_size=ps,
+        antiquant_scale=aq_scale, antiquant_offset=aq_off, kv_int4=True)
+
+    from cann_ops_adv_vllm_tpu.ops.quant import unpack_int4_fused
+    unpacked = np.asarray(unpack_int4_fused(packed)).astype(np.float32)
+    k_dq = (unpacked[..., :d] * np.asarray(k_s)[:, None, None, :]
+            + np.asarray(k_o)[:, None, None, :])
+    v_dq = (unpacked[..., d:] * np.asarray(v_s)[:, None, None, :]
+            + np.asarray(v_o)[:, None, None, :])
+    want = api.incre_flash_attention(
+        q.reshape(b, 1, h_q * d), fuse_kv(jnp.asarray(k_dq),
+                                          jnp.asarray(v_dq)),
+        num_heads=h_q, num_key_value_heads=h_kv,
+        actual_seq_lengths=sl, block_table=bt, block_size=ps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)

@@ -13,8 +13,14 @@ import pytest
 
 from cann_ops_adv_vllm_tpu.config import INT32_SENTINEL
 from cann_ops_adv_vllm_tpu.ops.paged_attention import (
+    fuse_kv,
     paged_attention_xla,
     paged_flash_decode,
+)
+from cann_ops_adv_vllm_tpu.ops.quant import (
+    pack_int4_fused,
+    quantize_kv_int4,
+    unpack_int4_fused,
 )
 from cann_ops_adv_vllm_tpu.ref import oracles
 
@@ -180,3 +186,169 @@ class TestInt8KV:
                                                  block_size=PS)
         err = np.abs(got - want_fp).mean()
         assert err < 0.05, f"int8 KV mean abs error too large: {err}"
+
+
+class TestMixedQuantModes:
+    """Reference PER_CHANNEL_TOKEN_MODE = 2: K per-channel + V per-token
+    (incre_flash_attention_split_Bbn2s2_Us2.h:71-72)."""
+
+    def _mixed_case(self, rng, k_mode, v_mode, *, b=2, h_kv=2, g=4,
+                    max_page=8):
+        q, kf, vf, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                       max_page=max_page)
+        k_q, k_s, k_o = oracles.quantize_kv_oracle(kf, mode=k_mode)
+        v_q, v_s, v_o = oracles.quantize_kv_oracle(vf, mode=v_mode)
+        num_pages = kf.shape[1]
+
+        def reshape(s, mode):
+            # oracle returns keepdims shapes; the kernel wants [H_kv, D]
+            # (per-channel) / [H_kv, P, ps] (per-token)
+            return (s.reshape(h_kv, D) if mode == "per_channel"
+                    else s.reshape(h_kv, num_pages, PS))
+        scales = (reshape(k_s, k_mode), reshape(k_o, k_mode),
+                  reshape(v_s, v_mode), reshape(v_o, v_mode))
+        k_dq = oracles.dequantize_kv_oracle(k_q, k_s, k_o)
+        v_dq = oracles.dequantize_kv_oracle(v_q, v_s, v_o)
+        return q, k_q, v_q, scales, k_dq, v_dq, bt, seq
+
+    @pytest.mark.parametrize("k_mode,v_mode",
+                             [("per_channel", "per_token"),
+                              ("per_token", "per_channel")])
+    def test_mixed_vs_dequant_oracle(self, rng, k_mode, v_mode):
+        (q, k_q, v_q, scales, k_dq, v_dq, bt,
+         seq) = self._mixed_case(rng, k_mode, v_mode)
+        got = np.asarray(paged_flash_decode(
+            q, k_q, v_q, bt, seq, kv_scales=scales, page_size=PS))
+        want = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
+                                              block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+    def test_mixed_sparse(self, rng):
+        b, h_kv, max_page = 2, 2, 16
+        (q, k_q, v_q, scales, k_dq, v_dq, bt, seq) = self._mixed_case(
+            rng, "per_channel", "per_token", b=b, h_kv=h_kv,
+            max_page=max_page)
+        positions, lens = _make_positions(rng, b, h_kv, max_page, 5, 8)
+        got = np.asarray(paged_flash_decode(
+            q, k_q, v_q, bt, seq, positions, lens, kv_scales=scales,
+            page_size=PS))
+        want = oracles.sparse_paged_attention_oracle(
+            q, k_dq, v_dq, bt, positions, lens, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+class TestGeneralKernelFallback:
+    """`slab=False` routes through the per-(head, block) `_kernel`; it
+    must agree with the (default) slab path on featured workloads."""
+
+    def test_general_matches_slab_featured(self, rng):
+        b, h_kv, g, max_page = 2, 2, 4, 8
+        q, kf, vf, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                       max_page=max_page)
+        h_q = h_kv * g
+        slopes = np.linspace(0.1, 0.5, h_q).astype(np.float32)
+        bias = rng.standard_normal((b, h_kv, max_page, PS)
+                                   ).astype(np.float32)
+        kwargs = dict(bias_pages=bias, alibi_slopes=slopes, page_size=PS)
+        a = np.asarray(paged_flash_decode(q, kf, vf, bt, seq, **kwargs))
+        b_ = np.asarray(paged_flash_decode(q, kf, vf, bt, seq, slab=False,
+                                           **kwargs))
+        np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-5)
+
+    def test_general_matches_slab_token_quant(self, rng):
+        b, h_kv, g, max_page = 1, 2, 4, 8
+        q, kf, vf, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                       max_page=max_page)
+        k_q, k_s, k_o = oracles.quantize_kv_oracle(kf, mode="per_token")
+        v_q, v_s, v_o = oracles.quantize_kv_oracle(vf, mode="per_token")
+        num_pages = kf.shape[1]
+        scales = tuple(s.reshape(h_kv, num_pages, PS)
+                       for s in (k_s, k_o, v_s, v_o))
+        a = np.asarray(paged_flash_decode(q, k_q, v_q, bt, seq,
+                                          kv_scales=scales, page_size=PS))
+        b_ = np.asarray(paged_flash_decode(q, k_q, v_q, bt, seq,
+                                           kv_scales=scales, page_size=PS,
+                                           slab=False))
+        np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-5)
+
+
+class TestInt4KV:
+    """In-kernel packed-int4 KV (reference int4b_t variants,
+    incre_flash_attention.cpp:431-438)."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        vals = rng.integers(-8, 8, size=(2, 3, PS, 2 * D)).astype(np.int8)
+        packed = np.asarray(pack_int4_fused(vals))
+        assert packed.shape == (2, 3, PS, D)
+        back = np.asarray(unpack_int4_fused(packed))
+        np.testing.assert_array_equal(back, vals)
+
+    def _int4_case(self, rng, *, b=2, h_kv=2, g=4, max_page=8):
+        q, kf, vf, bt, seq = make_case(rng, b=b, h_kv=h_kv, g=g,
+                                       max_page=max_page)
+        kv = np.asarray(fuse_kv(kf, vf))
+        packed, scales = quantize_kv_int4(kv, mode="per_channel")
+        # dequantized reference pages
+        unpacked = np.asarray(unpack_int4_fused(packed)).astype(np.float32)
+        k_s, k_o, v_s, v_o = (np.asarray(s) for s in scales)
+        k_dq = (unpacked[..., :D] * k_s[:, None, None, :]
+                + k_o[:, None, None, :])
+        v_dq = (unpacked[..., D:] * v_s[:, None, None, :]
+                + v_o[:, None, None, :])
+        return q, kf, vf, packed, scales, k_dq, v_dq, bt, seq
+
+    def test_dense_vs_dequant_oracle(self, rng):
+        (q, kf, vf, packed, scales, k_dq, v_dq, bt,
+         seq) = self._int4_case(rng)
+        got = np.asarray(paged_flash_decode(
+            q, packed, None, bt, seq, kv_scales=scales, kv_int4=True,
+            page_size=PS))
+        want = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
+                                              block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+        # fp32 oracle within int4 quantization tolerance (noise floor 2^-4)
+        want_fp = oracles.paged_attention_oracle(q, kf, vf, bt, seq,
+                                                 block_size=PS)
+        err = np.abs(got - want_fp).mean()
+        assert err < 0.25, f"int4 KV mean abs error too large: {err}"
+
+    def test_sparse_vs_dequant_oracle(self, rng):
+        b, h_kv, max_page = 2, 2, 16
+        (q, _, _, packed, scales, k_dq, v_dq, bt,
+         seq) = self._int4_case(rng, b=b, h_kv=h_kv, max_page=max_page)
+        positions, lens = _make_positions(rng, b, h_kv, max_page, 5, 8)
+        got = np.asarray(paged_flash_decode(
+            q, packed, None, bt, seq, positions, lens, kv_scales=scales,
+            kv_int4=True, page_size=PS))
+        want = oracles.sparse_paged_attention_oracle(
+            q, k_dq, v_dq, bt, positions, lens, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+    def test_per_token_int4(self, rng):
+        """Per-token scales route through the general kernel; the nibble
+        unpack must compose with the post-matmul per-token identities."""
+        q, kf, vf, bt, seq = make_case(rng, b=1, h_kv=2, g=4, max_page=8)
+        kv = np.asarray(fuse_kv(kf, vf))
+        packed, scales = quantize_kv_int4(kv, mode="per_token")
+        got = np.asarray(paged_flash_decode(
+            q, packed, None, bt, seq, kv_scales=scales, kv_int4=True,
+            page_size=PS))
+        unpacked = np.asarray(unpack_int4_fused(packed)).astype(np.float32)
+        k_s, k_o, v_s, v_o = (np.asarray(s)[..., None] for s in scales)
+        k_dq = unpacked[..., :D] * k_s + k_o
+        v_dq = unpacked[..., D:] * v_s + v_o
+        want = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
+                                              block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+    def test_ragged_tail(self, rng):
+        (q, _, _, packed, scales, k_dq, v_dq, bt,
+         _) = self._int4_case(rng, b=2, max_page=8)
+        seq = np.array([8 * PS, 3 * PS + 5], dtype=np.int32)
+        got = np.asarray(paged_flash_decode(
+            q, packed, None, bt, seq, kv_scales=scales, kv_int4=True,
+            page_size=PS))
+        want = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
+                                              block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)

@@ -61,6 +61,36 @@ class TestTensorParallel:
         np.testing.assert_allclose(np.asarray(kv2), np.asarray(ref_cache),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_dp2_tp2_matches_single_device(self):
+        """dp shards batch rows + the page pool (local block-table ids);
+        dp×tp logits and cache writes must match the plain step."""
+        cfg = CFG
+        dp, b, pool = 2, 4, 8          # 2 rows / 8 pages per replica
+        num_pages = dp * pool
+        params = llama.init_params(cfg, jax.random.key(0))
+        mesh = make_mesh(dp=dp, tp=2, sp=1)
+        sharded = shard_params(params, mesh, sparse=False)
+        step = tp_decode_step(cfg, mesh)
+
+        kv = llama.init_kv_cache(cfg, num_pages)
+        tokens = jnp.array([5, 9, 13, 17], jnp.int32)
+        bt_local = jnp.stack([
+            jnp.roll(jnp.arange(4, dtype=jnp.int32), i) for i in range(b)])
+        seq_lens = jnp.array([PS + 3, 2 * PS, 7, 3 * PS], jnp.int32)
+        logits, cache = step(sharded, tokens, kv, bt_local, seq_lens)
+
+        # single-device equivalent: replica d's local page p = global
+        # page d*pool + p
+        offs = (jnp.arange(b, dtype=jnp.int32) // (b // dp)) * pool
+        bt_global = bt_local + offs[:, None]
+        ref_logits, ref_cache = llama.decode_step(
+            cfg, params, tokens, kv, bt_global, seq_lens)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(ref_logits),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cache), np.asarray(ref_cache),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_tp2_sparse_runs(self):
         cfg = dataclasses.replace(CFG, num_centroids=8, top_k_clusters=2)
         params = llama.init_params(cfg, jax.random.key(0))
