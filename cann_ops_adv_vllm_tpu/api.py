@@ -51,6 +51,7 @@ __all__ = [
     "incre_flash_attention", "sparse_paged_attention",
     "sparse_paged_fusion_attention",
     "make_bias_pages", "to_native_kv_pages", "paginate_kv",
+    "paginate_kv_list",
 ]
 
 
@@ -154,6 +155,45 @@ def paginate_kv(key, value, *, num_kv_heads, page_size=PAGE_SIZE,
     table = (jnp.arange(b, dtype=jnp.int32)[:, None] * mp
              + jnp.arange(mp, dtype=jnp.int32)[None, :])
     return fuse_kv(k_p, v_p), table
+
+
+def paginate_kv_list(keys, values, *, num_kv_heads, page_size=PAGE_SIZE,
+                     input_layout="BSH"):
+    """Paginate a per-batch KV tensor *list* into one pool + block table.
+
+    The reference's non-continuous KV batches pass each request's KV as
+    its own tensor (tensor-list inputs, incre_flash_attention_tiling.cc:
+    337-366 ``kvListSeqLens_`` — per-list seq lens read from each tensor's
+    shape).  Here each list element is [1, S_i, ...] or [S_i, ...] in
+    ``input_layout`` (S_i may differ per element); every element is
+    paginated and the pools concatenate, so one kernel invocation serves
+    the whole ragged batch.
+
+    Returns (kv_pages [H_kv, ΣP_i, ps, 2D], block_table [B, max_mp] int32,
+    seq_lens [B] int32).
+    """
+    if len(keys) != len(values):
+        raise ValueError("tensor-list KV: len(keys) != len(values)")
+    pools, rows, lens = [], [], []
+    offset = 0
+    for k_i, v_i in zip(keys, values):
+        if k_i.ndim == 2:                      # [S, H] → [1, S, H]
+            k_i, v_i = k_i[None], v_i[None]
+        lay = input_layout.upper()
+        s_i = k_i.shape[2] if lay == "BNSD" else k_i.shape[1]
+        pages_i, _ = paginate_kv(k_i, v_i, num_kv_heads=num_kv_heads,
+                                 page_size=page_size,
+                                 input_layout=input_layout)
+        mp_i = pages_i.shape[1]
+        pools.append(pages_i)
+        rows.append(offset + jnp.arange(mp_i, dtype=jnp.int32))
+        lens.append(s_i)
+        offset += mp_i
+    max_mp = max(r.shape[0] for r in rows)
+    table = jnp.stack([
+        jnp.pad(r, (0, max_mp - r.shape[0])) for r in rows])
+    return (jnp.concatenate(pools, axis=1), table,
+            jnp.asarray(lens, jnp.int32))
 
 
 def make_bias_pages(*, atten_mask=None, pse_shift=None, max_blocks,
@@ -350,7 +390,17 @@ def incre_flash_attention(
     q = _dequant_query(q, dequant_scale1, "incre_flash_attention")
     b = q.shape[0]
 
-    if block_table is None:
+    if isinstance(key, (list, tuple)):
+        # tensor-list non-continuous KV batches (reference kvListSeqLens_)
+        if block_table is not None:
+            raise ValueError("tensor-list KV is a non-paged mode; do not "
+                             "pass block_table")
+        kv_pages, block_table, list_lens = paginate_kv_list(
+            key, value, num_kv_heads=n2, page_size=block_size,
+            input_layout=input_layout)
+        if actual_seq_lengths is None:
+            actual_seq_lengths = list_lens
+    elif block_table is None:
         if actual_seq_lengths is None:
             raise ValueError("non-paged mode needs actual_seq_lengths "
                              "(or pass a block_table)")
@@ -377,10 +427,6 @@ def incre_flash_attention(
             kv_start = jnp.broadcast_to(kv_start, (b,))
 
     if prefix_key is not None:
-        if (bias is not None or alibi_slopes is not None
-                or out_quant is not None or kv_start is not None):
-            raise NotImplementedError(
-                "shared-prefix mode composes with quantized KV only")
         prefix_scales = _split_antiquant(
             prefix_antiquant_scale, prefix_antiquant_offset, n2)
         if prefix_key.dtype == jnp.int8 and prefix_scales is None:
@@ -394,10 +440,15 @@ def incre_flash_attention(
                     "int8 prefix_key needs prefix_antiquant_scale/offset "
                     "(per-token user-KV scales are pool-specific and "
                     "cannot dequantize the prefix pool)")
+        # atten_mask / pse_shift address user-KV token positions; the
+        # shared prefix (system prompt) is fully visible by construction,
+        # so bias tiles feed the user pass only (a prefix-side bias is
+        # available via ops.prefix.shared_prefix_attention directly).
         res = shared_prefix_attention(
             q, prefix_key, prefix_table, jnp.asarray(prefix_lens, jnp.int32),
             kv_pages, block_table, seq_lens, kv_scales=kv_scales,
-            prefix_kv_scales=prefix_scales,
+            prefix_kv_scales=prefix_scales, kv_start=kv_start,
+            bias_pages=bias, alibi_slopes=alibi_slopes, out_quant=out_quant,
             sm_scale=scale_value, page_size=block_size, ppcb=ppcb,
             return_lse=softmax_lse_flag, interpret=interpret)
     else:

@@ -78,6 +78,11 @@ def shared_prefix_attention(
     position_lens=None,
     kv_scales=None,
     prefix_kv_scales=None,
+    kv_start=None,
+    bias_pages=None,
+    prefix_bias_pages=None,
+    alibi_slopes=None,
+    out_quant=None,
     sm_scale=None,
     page_size=PAGE_SIZE,
     ppcb=8,
@@ -98,10 +103,31 @@ def shared_prefix_attention(
                      :func:`..ops.paged_attention.paged_flash_decode`).
       positions / prefix_positions: optional sparse selection for either
                      pass (SparsePagedAttention semantics).
+      kv_start:      [B] int32 kv-left-padding of the *user* KV (the
+                     prefix pool is dense from 0 by construction).
+      bias_pages / prefix_bias_pages: additive score-bias tiles for the
+                     user / prefix pass respectively (api.make_bias_pages
+                     layout) — the reference's prefix path composes
+                     mask/pse with SYS_PREFIX the same way
+                     (incre_flash_attention.cpp INVOKE..._PREFIX carries
+                     the full feature matrix).
+      alibi_slopes:  [H_q] f32.  The user pass runs with its local
+                     positions — local distances equal global distances
+                     (both query and token shift by prefix_len).  The
+                     prefix pass runs with prefix-local positions, whose
+                     distances are uniformly short by seq_len; a uniform
+                     logit shift leaves softmax weights (and the partial
+                     output) unchanged and adds the constant to the LSE,
+                     so the correction ``slope · (−seq_len)`` is applied
+                     to the prefix LSE before the merge — exact.
+      out_quant:     (scale2, offset2) → int8 output, applied after the
+                     merge (post-quant happens once, on the combined
+                     result, matching aclnn quant_scale2 semantics).
 
-    Returns [B, H_q, D] (and optionally merged LSE [B, H_q] fp32).
+    Returns [B, H_q, D] (int8 with ``out_quant``; optionally merged LSE
+    [B, H_q] fp32).
     """
-    b = q.shape[0]
+    b, h_q, _ = q.shape
     if prefix_table.shape[0] == 1 and b > 1:
         prefix_table = jnp.broadcast_to(
             prefix_table, (b, prefix_table.shape[1]))
@@ -111,14 +137,36 @@ def shared_prefix_attention(
     o_pre, lse_pre = paged_flash_decode(
         q, prefix_pages, None, prefix_table, prefix_lens,
         prefix_positions, prefix_position_lens,
-        kv_scales=prefix_kv_scales, sm_scale=sm_scale, page_size=page_size,
+        kv_scales=prefix_kv_scales, bias_pages=prefix_bias_pages,
+        alibi_slopes=alibi_slopes,
+        sm_scale=sm_scale, page_size=page_size,
         ppcb=ppcb, return_lse=True, interpret=interpret)
     o_usr, lse_usr = paged_flash_decode(
         q, kv_pages, None, block_table, seq_lens,
         positions, position_lens,
-        kv_scales=kv_scales, sm_scale=sm_scale, page_size=page_size,
+        kv_scales=kv_scales, kv_start=kv_start, bias_pages=bias_pages,
+        alibi_slopes=alibi_slopes,
+        sm_scale=sm_scale, page_size=page_size,
         ppcb=ppcb, return_lse=True, interpret=interpret)
 
+    if alibi_slopes is not None:
+        # global-position correction for the prefix pass (see docstring):
+        # its in-pass query position was prefix_len−1; globally it is
+        # prefix_len + seq_len − 1, so every prefix logit is slope·seq_len
+        # too large → subtract uniformly via the LSE.
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q)
+        shift = slopes * (-seq_lens.astype(jnp.float32)[:, None])
+        # keep empty-prefix LSEs at MASK_VALUE-level so the merge's
+        # zero-weight invariant holds
+        lse_pre = jnp.where(lse_pre <= MASK_VALUE / 2, lse_pre,
+                            lse_pre.astype(jnp.float32) + shift)
+
     merged, lse = merge_partial_attention([o_pre, o_usr], [lse_pre, lse_usr])
-    merged = merged.astype(q.dtype)
+    if out_quant is not None:
+        oq_scale = jnp.asarray(out_quant[0], jnp.float32)
+        oq_off = jnp.asarray(out_quant[1], jnp.float32)
+        merged = jnp.clip(jnp.round(merged * oq_scale + oq_off),
+                          -128.0, 127.0).astype(jnp.int8)
+    else:
+        merged = merged.astype(q.dtype)
     return (merged, lse) if return_lse else merged

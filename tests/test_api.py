@@ -276,3 +276,57 @@ def test_int4_kv_through_api():
         actual_seq_lengths=sl, block_table=bt, block_size=ps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_tensor_list_kv():
+    """Per-batch KV tensor lists (reference kvListSeqLens_ non-continuous
+    batches, incre_flash_attention_tiling.cc:337-366): ragged per-request
+    KV tensors == per-request single-tensor calls."""
+    rng = np.random.default_rng(11)
+    h_kv, g, d, ps = 2, 2, 128, 16
+    h_q = h_kv * g
+    lens = [19, 40, 7]
+    b = len(lens)
+    q = jnp.asarray(rng.standard_normal((b, h_q, d)), jnp.float32)
+    keys = [jnp.asarray(rng.standard_normal((1, s, h_kv * d)), jnp.float32)
+            for s in lens]
+    vals = [jnp.asarray(rng.standard_normal((1, s, h_kv * d)), jnp.float32)
+            for s in lens]
+
+    out = api.incre_flash_attention(
+        q.reshape(b, 1, h_q * d), keys, vals, num_heads=h_q,
+        num_key_value_heads=h_kv, block_size=ps)
+
+    for bi, s in enumerate(lens):
+        want = api.incre_flash_attention(
+            q[bi:bi + 1].reshape(1, 1, h_q * d), keys[bi], vals[bi],
+            num_heads=h_q, num_key_value_heads=h_kv,
+            actual_seq_lengths=jnp.asarray([s], jnp.int32), block_size=ps)
+        np.testing.assert_allclose(
+            np.asarray(out)[bi], np.asarray(want)[0], rtol=1e-5, atol=1e-5)
+
+
+def test_tensor_list_kv_2d_elements_and_explicit_lens():
+    """[S, H] list elements; actual_seq_lengths may shorten each element."""
+    rng = np.random.default_rng(12)
+    h_kv, g, d, ps = 2, 2, 128, 16
+    h_q = h_kv * g
+    lens = [25, 33]
+    b = len(lens)
+    q = jnp.asarray(rng.standard_normal((b, h_q, d)), jnp.float32)
+    keys = [jnp.asarray(rng.standard_normal((s, h_kv * d)), jnp.float32)
+            for s in lens]
+    vals = [jnp.asarray(rng.standard_normal((s, h_kv * d)), jnp.float32)
+            for s in lens]
+    short = jnp.asarray([20, 30], jnp.int32)
+    out = api.incre_flash_attention(
+        q.reshape(b, 1, h_q * d), keys, vals, num_heads=h_q,
+        num_key_value_heads=h_kv, block_size=ps,
+        actual_seq_lengths=short)
+    for bi in range(b):
+        want = api.incre_flash_attention(
+            q[bi:bi + 1].reshape(1, 1, h_q * d), keys[bi][None],
+            vals[bi][None], num_heads=h_q, num_key_value_heads=h_kv,
+            actual_seq_lengths=short[bi:bi + 1], block_size=ps)
+        np.testing.assert_allclose(
+            np.asarray(out)[bi], np.asarray(want)[0], rtol=1e-5, atol=1e-5)

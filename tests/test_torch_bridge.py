@@ -75,3 +75,34 @@ def test_selection_chain_torch():
     pos2, plens, maxlen = torch_bridge.cent_select(q, cent, bids, bt, sl,
                                                    k=4, block_size=ps)
     assert maxlen.shape[0] == b
+
+
+def test_bf16_dlpack_roundtrip():
+    """bf16 tensors cross the bridge without an fp32 detour (dlpack both
+    directions) and outputs come back as torch.bfloat16."""
+    rng = np.random.default_rng(3)
+    b, h_kv, g, d, ps = 2, 2, 2, 128, 16
+    h_q = h_kv * g
+    q = torch.tensor(rng.standard_normal((b, 1, h_q * d)),
+                     dtype=torch.bfloat16)
+    k = torch.tensor(rng.standard_normal((h_kv, 16, ps, d)),
+                     dtype=torch.bfloat16)
+    v = torch.tensor(rng.standard_normal((h_kv, 16, ps, d)),
+                     dtype=torch.bfloat16)
+    bt = torch.tensor(rng.permutation(16)[:b * 8].reshape(b, 8)
+                      .astype(np.int32))
+    sl = torch.tensor(rng.integers(ps, 8 * ps, b).astype(np.int32))
+    out = torch_bridge.incre_flash_attention(
+        q, k, v, num_heads=h_q, num_key_value_heads=h_kv,
+        block_table=bt, actual_seq_lengths=sl, block_size=ps)
+    assert out.dtype == torch.bfloat16
+    want = api.incre_flash_attention(
+        jnp.asarray(q.float().numpy(), jnp.bfloat16),
+        jnp.asarray(k.float().numpy(), jnp.bfloat16),
+        jnp.asarray(v.float().numpy(), jnp.bfloat16),
+        num_heads=h_q, num_key_value_heads=h_kv, block_table=bt.numpy(),
+        actual_seq_lengths=sl.numpy(), block_size=ps)
+    np.testing.assert_allclose(out.float().numpy(),
+                               np.asarray(want, jnp.float32).reshape(
+                                   out.shape),
+                               rtol=2e-2, atol=2e-2)
