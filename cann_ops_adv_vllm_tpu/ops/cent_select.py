@@ -200,43 +200,56 @@ def cent_select(q, l1_cent, block_ids, block_table, seq_len, *, k=64,
     if group_mode not in ("per_qhead", "kv_group"):
         raise ValueError(group_mode)
     if k >= c:
-        # the reference's fused config (k=512 = C): every cluster is
-        # selected, so the similarity matmul and top-k are dead code —
-        # membership is all-true and only cap/sink/recent logic remains
+        # The reference's fused config (k=512 = C,
+        # sparse_paged_fusion_attention_tiling.cc:1603): every cluster is
+        # selected, so the membership mask is *statically* all-true over
+        # valid slots (and the forced sink/recent slots are a subset of
+        # it).  The whole similarity → membership → compaction pipeline
+        # collapses algebraically to a masked iota — positions ARE the
+        # first ``max_page_num`` slot ids and counts ARE page_len.  This
+        # removes the partial-top_k compaction (the dominant selection
+        # cost at 128K ctx) from the fused hot path exactly.
         h = q.shape[1] if group_mode == "per_qhead" else l1_cent.shape[0]
-        indices = jnp.broadcast_to(
-            jnp.arange(k, dtype=jnp.int32)[None, None, :], (bsz, h, k))
-    elif group_mode == "per_qhead":
-        indices = compute_cent(q, l1_cent, k)
+        page_len = (seq_len.astype(jnp.int32) + block_size - 1) // block_size
+        sl = jnp.arange(max_page_num, dtype=jnp.int32)
+        pos_row = jnp.where(sl[None, :] < page_len[:, None], sl[None, :],
+                            INT32_SENTINEL)                    # [B, M]
+        positions = jnp.broadcast_to(pos_row[:, None, :],
+                                     (bsz, h, max_page_num))
+        counts = jnp.broadcast_to(page_len[:, None], (bsz, h))
     else:
-        indices = compute_cent_scores_grouped(q, l1_cent, k)
+        if group_mode == "per_qhead":
+            indices = compute_cent(q, l1_cent, k)
+        else:
+            indices = compute_cent_scores_grouped(q, l1_cent, k)
 
-    mask, page_len, _ = _membership_mask(block_ids, block_table, seq_len,
-                                         indices, block_size,
-                                         num_clusters=c)
+        mask, page_len, _ = _membership_mask(block_ids, block_table,
+                                             seq_len, indices, block_size,
+                                             num_clusters=c)
 
-    if force_sink_and_recent:
-        # Force slots whose physical id equals the sink page's or the two
-        # most recent pages' physical id (value equality, matching
-        # CompareScalar at cent_select.cpp:350-362).
-        table = block_table[:bsz].astype(jnp.int32)
-        max_page = table.shape[1]
-        slot_valid = jnp.arange(max_page)[None, :] < page_len[:, None]
+        if force_sink_and_recent:
+            # Force slots whose physical id equals the sink page's or the
+            # two most recent pages' physical id (value equality, matching
+            # CompareScalar at cent_select.cpp:350-362).
+            table = block_table[:bsz].astype(jnp.int32)
+            max_page = table.shape[1]
+            slot_valid = jnp.arange(max_page)[None, :] < page_len[:, None]
 
-        def forced_for(slot_idx):
-            ref_val = jnp.take_along_axis(table, slot_idx[:, None], axis=1)
-            return table == ref_val  # [B, max_page]
+            def forced_for(slot_idx):
+                ref_val = jnp.take_along_axis(table, slot_idx[:, None],
+                                              axis=1)
+                return table == ref_val  # [B, max_page]
 
-        last = jnp.maximum(page_len - 1, 0)
-        second_last = jnp.maximum(page_len - 2, 0)
-        forced = (forced_for(jnp.zeros_like(last))
-                  | forced_for(second_last)
-                  | forced_for(last))
-        forced = forced & slot_valid
-        mask = mask | forced[:, None, :]
+            last = jnp.maximum(page_len - 1, 0)
+            second_last = jnp.maximum(page_len - 2, 0)
+            forced = (forced_for(jnp.zeros_like(last))
+                      | forced_for(second_last)
+                      | forced_for(last))
+            forced = forced & slot_valid
+            mask = mask | forced[:, None, :]
 
-    positions = _compact_positions(mask, max_page_num)
-    counts = jnp.sum(mask, axis=-1).astype(jnp.int32)          # [B, H]
+        positions = _compact_positions(mask, max_page_num)
+        counts = jnp.sum(mask, axis=-1).astype(jnp.int32)      # [B, H]
     if workload_cap_ratio > 0:
         cap = jnp.maximum(page_len // workload_cap_ratio, 1)   # [B]
         lengths = jnp.minimum(counts, cap[:, None])

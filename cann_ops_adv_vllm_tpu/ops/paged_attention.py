@@ -1089,30 +1089,46 @@ def paged_flash_decode(
     # ranks: [H_kv, D] = per-channel, [H_kv, P, ps] = per-token.  Mixing
     # them gives the reference's PER_CHANNEL_TOKEN_MODE = 2 (K per-channel
     # + V per-token, split header :71-72, used at :1266,:3049,:3462).
+    # A single pre-stacked array [H_kv, P, 4, ps] (rows: k_scale, k_offset,
+    # v_scale, v_offset) is the zero-copy per-token form the runtime KV
+    # cache maintains natively (models.llama int8 cache) — no per-step
+    # restacking of an O(pool) array.
     quantized = kv_scales is not None
-    k_token = quantized and kv_scales[0].ndim == 3
-    v_token = quantized and kv_scales[2].ndim == 3
-    token_quant = k_token or v_token
-    zeros = jnp.zeros((h_kv, d), jnp.float32)
-    k_scale = k_offset = v_scale = v_offset = zeros
-    if quantized and not k_token:
-        k_scale = kv_scales[0].astype(jnp.float32)
-        k_offset = kv_scales[1].astype(jnp.float32)
-    if quantized and not v_token:
-        v_scale = kv_scales[2].astype(jnp.float32)
-        v_offset = kv_scales[3].astype(jnp.float32)
-    if token_quant:
-        # the token-mode halves stack into [H_kv, P, n_rows, ps] — one
-        # extra (slab) DMA per page; row layout is static (K rows first)
-        rows = []
-        if k_token:
-            rows += [kv_scales[0], kv_scales[1]]
-        if v_token:
-            rows += [kv_scales[2], kv_scales[3]]
-        tok_scales = jnp.stack(
-            [s.astype(jnp.float32) for s in rows], axis=2)
+    if quantized and not isinstance(kv_scales, (tuple, list)):
+        if kv_scales.ndim != 4 or kv_scales.shape[2] != 4:
+            raise ValueError(
+                "pre-stacked per-token kv_scales must be "
+                f"[H_kv, P, 4, ps]; got {kv_scales.shape}")
+        tok_scales = kv_scales.astype(jnp.float32)
+        k_token = v_token = True
+        token_quant = True
+        zeros = jnp.zeros((h_kv, d), jnp.float32)
+        k_scale = k_offset = v_scale = v_offset = zeros
     else:
-        tok_scales = None
+        k_token = quantized and kv_scales[0].ndim == 3
+        v_token = quantized and kv_scales[2].ndim == 3
+        token_quant = k_token or v_token
+        zeros = jnp.zeros((h_kv, d), jnp.float32)
+        k_scale = k_offset = v_scale = v_offset = zeros
+        if quantized and not k_token:
+            k_scale = kv_scales[0].astype(jnp.float32)
+            k_offset = kv_scales[1].astype(jnp.float32)
+        if quantized and not v_token:
+            v_scale = kv_scales[2].astype(jnp.float32)
+            v_offset = kv_scales[3].astype(jnp.float32)
+        if token_quant:
+            # the token-mode halves stack into [H_kv, P, n_rows, ps] — one
+            # extra (slab) DMA per page; row layout is static (K rows
+            # first)
+            rows = []
+            if k_token:
+                rows += [kv_scales[0], kv_scales[1]]
+            if v_token:
+                rows += [kv_scales[2], kv_scales[3]]
+            tok_scales = jnp.stack(
+                [s.astype(jnp.float32) for s in rows], axis=2)
+        else:
+            tok_scales = None
 
     use_alibi = alibi_slopes is not None
     if use_alibi:
@@ -1370,6 +1386,9 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
 
     kq = k_pages.astype(jnp.float32)
     vq = v_pages.astype(jnp.float32)
+    if kv_scales is not None and not isinstance(kv_scales, (tuple, list)):
+        # pre-stacked per-token form [H_kv, P, 4, ps] → 4-tuple view
+        kv_scales = tuple(kv_scales[:, :, r] for r in range(4))
     if kv_scales is not None:
         # K and V antiquant modes are independent (rank 2 = per-channel,
         # rank 3 = per-token — reference PER_CHANNEL_TOKEN_MODE = 2)

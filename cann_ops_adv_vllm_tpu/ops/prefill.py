@@ -27,7 +27,9 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
                        page_size=PAGE_SIZE, valid_lens=None):
     """Scatter a chunk of K/V rows into the fused paged cache.
 
-    kv_cache_layer: [H_kv, P, ps, 2D]; k_new/v_new: [B, T, H_kv, D];
+    kv_cache_layer: [H_kv, P, ps, 2D] (or the int8 cache dict — rows are
+    quantized per-token at write time, models.llama.init_kv_cache);
+    k_new/v_new: [B, T, H_kv, D];
     start_pos: [B] — position of the chunk's first token.
     valid_lens: optional [B] int32 — only the first ``valid_lens[b]`` rows
     of lane b are written (tail-of-prompt chunks are zero-padded to the
@@ -35,7 +37,9 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
     page id and are dropped).
     """
     b, t, h_kv, d = k_new.shape
-    num_pages = kv_cache_layer.shape[1]
+    quantized = isinstance(kv_cache_layer, dict)
+    pages = kv_cache_layer["kv"] if quantized else kv_cache_layer
+    num_pages = pages.shape[1]
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
     slot = pos // page_size                                   # [B, T]
     row = pos % page_size
@@ -46,13 +50,23 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
                  < valid_lens[:, None].astype(jnp.int32))
         pid = jnp.where(valid, pid, num_pages)                # OOB → dropped
 
-    kv_row = jnp.concatenate([k_new, v_new], axis=-1)         # [B, T, H, 2D]
     h_idx = jnp.arange(h_kv)[None, None, :]
     hb = jnp.broadcast_to(h_idx, (b, t, h_kv))
     pb = jnp.broadcast_to(pid[:, :, None], (b, t, h_kv))
     rb = jnp.broadcast_to(row[:, :, None], (b, t, h_kv))
-    return kv_cache_layer.at[hb, pb, rb].set(
-        kv_row.astype(kv_cache_layer.dtype), mode="drop")
+    if quantized:
+        from .quant import quantize_rows
+        k_q, k_s = quantize_rows(k_new)               # [B,T,H,D], [B,T,H]
+        v_q, v_s = quantize_rows(v_new)
+        kv_row = jnp.concatenate([k_q, v_q], axis=-1)
+        ts = kv_cache_layer["ts"]
+        ts = ts.at[hb, pb, 0, rb].set(k_s, mode="drop")
+        ts = ts.at[hb, pb, 2, rb].set(v_s, mode="drop")
+        return {"kv": pages.at[hb, pb, rb].set(kv_row, mode="drop"),
+                "ts": ts}
+    kv_row = jnp.concatenate([k_new, v_new], axis=-1)         # [B, T, H, 2D]
+    return pages.at[hb, pb, rb].set(
+        kv_row.astype(pages.dtype), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "kv_block_pages",
@@ -85,7 +99,13 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
           .transpose(0, 2, 3, 1, 4))                      # [B,Hkv,G,T,D]
     q_pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
 
-    if kv_scales is not None:
+    per_token = False
+    if kv_scales is not None and not isinstance(kv_scales, (tuple, list)):
+        # pre-stacked per-token scales [H_kv, P, 4, ps] (the int8 KV
+        # cache's native layout, see models.llama.init_kv_cache)
+        ts_pages = kv_scales.astype(jnp.float32)
+        per_token = True
+    elif kv_scales is not None:
         k_scale, k_offset, v_scale, v_offset = (
             s.astype(jnp.float32) for s in kv_scales)
 
@@ -103,7 +123,17 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
         kv_blk = kv_blk.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
         k = kv_blk[..., :d].reshape(b, h_kv, bk, d)
         v = kv_blk[..., d:].reshape(b, h_kv, bk, d)
-        if kv_scales is not None:
+        if per_token:
+            ts = ts_pages[:, pids]                  # [Hkv, B, kbp, 4, ps]
+            ts = ts.transpose(1, 0, 2, 3, 4).reshape(b, h_kv, kv_block_pages,
+                                                     4, ps)
+            ks = ts[:, :, :, 0].reshape(b, h_kv, bk)
+            ko = ts[:, :, :, 1].reshape(b, h_kv, bk)
+            vs = ts[:, :, :, 2].reshape(b, h_kv, bk)
+            vo = ts[:, :, :, 3].reshape(b, h_kv, bk)
+            k = k * ks[..., None] + ko[..., None]
+            v = v * vs[..., None] + vo[..., None]
+        elif kv_scales is not None:
             k = k * k_scale[None, :, None, :] + k_offset[None, :, None, :]
             v = v * v_scale[None, :, None, :] + v_offset[None, :, None, :]
 

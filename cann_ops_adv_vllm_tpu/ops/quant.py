@@ -130,3 +130,21 @@ def unpack_int4(packed):
     out = jnp.stack([lo, hi], axis=-2)             # [..., rows//2, 2, D]
     shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
     return out.reshape(shape)
+
+
+@jax.jit
+def quantize_rows(x):
+    """Symmetric per-row int8 quantization for KV-cache writes.
+
+    The runtime int8 KV cache (models.llama ``kv_cache_dtype="int8"``)
+    quantizes each written K/V row with its own scale — the reference's
+    per-token antiquant mode, computed online so no calibration pass is
+    needed (offsets are zero by symmetry).
+
+    x: [..., D] float → (q int8 [..., D], scale fp32 [...]).
+    """
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(a / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale

@@ -69,14 +69,16 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh):
             h = llama.rms_norm(x, lp["ln_attn"], local_cfg.rms_eps)
             lbi = block_ids[li] if local_cfg.num_centroids else None
             attn, cache_li = llama._attention(
-                local_cfg, lp, h, kv_cache[li], block_table, seq_lens, lbi)
+                local_cfg, lp, h, llama._layer_cache(kv_cache, li),
+                block_table, seq_lens, lbi)
             new_cache.append(cache_li)
             x = x + _psum_if(attn, "tp").astype(local_cfg.dtype)
             h = llama.rms_norm(x, lp["ln_mlp"], local_cfg.rms_eps)
             x = x + _psum_if(llama._mlp(lp, h), "tp").astype(local_cfg.dtype)
         x = llama.rms_norm(x, params["ln_f"], local_cfg.rms_eps)
         logits = (x @ params["lm_head"]).astype(jnp.float32)
-        return logits, jnp.stack(new_cache) if new_cache else kv_cache
+        return logits, (llama._stack_cache(new_cache) if new_cache
+                        else kv_cache)
 
     def wrapped(params, tokens, kv_cache, block_table, seq_lens,
                 block_ids=None):

@@ -33,12 +33,14 @@ def _load():
     lib.pa_num_free.restype = ctypes.c_int32
     lib.pa_num_free.argtypes = [ctypes.c_void_p]
     for name in ("pa_create_seq", "pa_append_tokens", "pa_fork",
-                 "pa_free_seq", "pa_num_tokens"):
+                 "pa_free_seq", "pa_num_tokens", "pa_trim_front"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int64
     lib.pa_create_seq.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pa_append_tokens.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int64]
+    lib.pa_trim_front.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_int64]
     lib.pa_fork.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.pa_free_seq.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pa_num_tokens.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -113,6 +115,16 @@ class PageAllocator:
         if dst < 0:
             raise MemoryError(f"copy-on-write failed for seq {seq_id}")
         return int(dst), int(src.value)
+
+    def trim_front(self, seq_id: int, keep_from_token: int) -> int:
+        """Sliding-window reclaim: free pages wholly before
+        ``keep_from_token``.  Trimmed block-table slots become -1
+        placeholders (never read by the kernel under kv_start).  Returns
+        the number of pages freed."""
+        r = self._lib.pa_trim_front(self._pa, seq_id, keep_from_token)
+        if r < 0:
+            raise KeyError(seq_id)
+        return r
 
     def free_seq(self, seq_id: int) -> None:
         self._lib.pa_free_seq(self._pa, seq_id)

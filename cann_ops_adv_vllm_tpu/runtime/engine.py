@@ -21,6 +21,8 @@ Design points:
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from collections import deque
 from typing import Callable, Optional
 
@@ -31,6 +33,59 @@ import numpy as np
 from ..models import llama
 from . import sampling
 from .allocator import PageAllocator
+
+logger = logging.getLogger("cann_ops_adv_vllm_tpu.engine")
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Request-level observability (the reference instruments its op path
+    with OPS_LOG throughout, ops_log.h; the engine is the layer where the
+    serving-visible counters live here).
+
+    Latencies are wall-clock per engine tick, in seconds; ``p50_ms()``
+    reads the rolling window of the last 512 ticks.
+    """
+
+    steps: int = 0
+    decode_ticks: int = 0
+    prefill_ticks: int = 0
+    tokens_generated: int = 0
+    prompt_tokens: int = 0
+    requests_admitted: int = 0
+    requests_completed: int = 0
+    preempted: int = 0
+    _lat_window: deque = dataclasses.field(
+        default_factory=lambda: deque(maxlen=512))
+
+    def observe_tick(self, dt: float, kind: str):
+        self.steps += 1
+        if kind == "prefill":
+            self.prefill_ticks += 1
+        else:
+            self.decode_ticks += 1
+        self._lat_window.append(dt)
+
+    def p50_ms(self) -> float:
+        if not self._lat_window:
+            return 0.0
+        return float(np.median(self._lat_window) * 1e3)
+
+    def snapshot(self, engine: "DecodeEngine") -> dict:
+        return {
+            "steps": self.steps,
+            "decode_ticks": self.decode_ticks,
+            "prefill_ticks": self.prefill_ticks,
+            "tokens_generated": self.tokens_generated,
+            "prompt_tokens": self.prompt_tokens,
+            "requests_admitted": self.requests_admitted,
+            "requests_completed": self.requests_completed,
+            "running": len(engine.running),
+            "waiting": len(engine.waiting),
+            "free_pages": engine.allocator.num_free_pages,
+            "total_pages": engine.allocator.num_pages,
+            "p50_tick_ms": round(self.p50_ms(), 3),
+        }
 
 
 @dataclasses.dataclass
@@ -55,7 +110,8 @@ class DecodeEngine:
     def __init__(self, cfg: llama.LlamaConfig, params, num_pages: int,
                  max_batch: int = 8, max_page: Optional[int] = None,
                  sample_fn: Optional[Callable] = None, seed: int = 0,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 log_interval: int = 0):
         self.cfg = cfg
         self.params = params
         self.max_batch = max_batch
@@ -94,6 +150,13 @@ class DecodeEngine:
         self._top_ps = np.ones((max_batch,), np.float32)
         self._min_ps = np.zeros((max_batch,), np.float32)
         self._prefill_cursor: dict[int, int] = {}
+        #: pages covered by the cached _bt_host row (−1 → must rebuild);
+        #: a block-table row changes only when its sequence crosses a page
+        #: boundary, so the per-slot allocator ctypes call runs ~1/page_size
+        #: of the time instead of every tick
+        self._bt_pages = np.full((max_batch,), -1, np.int64)
+        self.stats = EngineStats()
+        self.log_interval = log_interval
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -125,6 +188,9 @@ class DecodeEngine:
             self.slots[i] = req.seq_id
             self.running[req.seq_id] = req
             self._prefill_cursor[req.seq_id] = 0
+            self._bt_pages[i] = -1
+            self.stats.requests_admitted += 1
+            self.stats.prompt_tokens += len(req.prompt)
 
     def _release(self, slot_idx: int):
         seq_id = self.slots[slot_idx]
@@ -134,6 +200,17 @@ class DecodeEngine:
         self.slots[slot_idx] = None
         self.running.pop(seq_id, None)
         self._prefill_cursor.pop(seq_id, None)
+        self._bt_pages[slot_idx] = -1
+        self.stats.requests_completed += 1
+
+    def _refresh_bt_row(self, i: int, seq_id: int, n_tokens: int):
+        """Rebuild the cached block-table row only when the sequence
+        crossed a page boundary since the last build."""
+        pages = (n_tokens + self.cfg.page_size - 1) // self.cfg.page_size
+        if pages != self._bt_pages[i]:
+            self._bt_host[i] = self.allocator.block_table(
+                seq_id, self.max_page, pad_value=0)
+            self._bt_pages[i] = pages
 
     # -- batch assembly ------------------------------------------------------
 
@@ -159,14 +236,23 @@ class DecodeEngine:
             self._top_ks[i] = req.top_k
             self._top_ps[i] = req.top_p
             self._min_ps[i] = req.min_p
-            self.allocator.append_tokens(seq_id, 1)
-            n = self.allocator.num_tokens(seq_id)
-            self._bt_host[i] = self.allocator.block_table(
-                seq_id, self.max_page, pad_value=0)
+            n = self.allocator.append_tokens(seq_id, 1)
+            self._trim_window(seq_id, n)
+            self._refresh_bt_row(i, seq_id, n)
             self._seq_lens[i] = n
             self._tokens[i] = token
             any_active = True
         return any_active
+
+    def _trim_window(self, seq_id: int, n_tokens: int):
+        """Sliding-window page reclaim: pages wholly behind the attention
+        window (kv_start = n − W, the same edge models.llama._attention
+        passes to the kernel) go back to the free list; their block-table
+        slots keep their logical index as -1 placeholders the kernel never
+        reads."""
+        if self.cfg.sliding_window:
+            self.allocator.trim_front(
+                seq_id, max(n_tokens - self.cfg.sliding_window, 0))
 
     # -- chunked prefill -------------------------------------------------------
 
@@ -196,6 +282,7 @@ class DecodeEngine:
 
     def _finish_or_continue(self, i: int, req: Request, token: int):
         req.generated.append(token)
+        self.stats.tokens_generated += 1
         if (req.eos_token_id is not None and token == req.eos_token_id):
             req.done = True
             req.finish_reason = "stop"
@@ -229,9 +316,9 @@ class DecodeEngine:
             self._top_ks[i] = req.top_k
             self._top_ps[i] = req.top_p
             self._min_ps[i] = req.min_p
-            self.allocator.append_tokens(seq_id, n)
-            self._bt_host[i] = self.allocator.block_table(
-                seq_id, self.max_page, pad_value=0)
+            total = self.allocator.append_tokens(seq_id, n)
+            self._trim_window(seq_id, total)
+            self._refresh_bt_row(i, seq_id, total)
             self._prefill_cursor[seq_id] = cur + n
             if cur + n == len(req.prompt):
                 finishing.append(i)
@@ -262,13 +349,16 @@ class DecodeEngine:
 
         Returns False when no work remains.
         """
+        t0 = time.perf_counter()
         self._admit()
         if self._prefill is not None:
             lanes = [i for i, sid in enumerate(self.slots)
                      if sid is not None and self._prefill_cursor[sid]
                      < len(self.running[sid].prompt)]
             if lanes:
-                return self._prefill_tick(lanes)
+                r = self._prefill_tick(lanes)
+                self._observe(t0, "prefill")
+                return r
         if not self._assemble():
             return bool(self.waiting)
 
@@ -294,7 +384,13 @@ class DecodeEngine:
                     self._finish_or_continue(i, req, int(next_tokens[i]))
             else:
                 self._finish_or_continue(i, req, int(next_tokens[i]))
+        self._observe(t0, "decode")
         return True
+
+    def _observe(self, t0: float, kind: str):
+        self.stats.observe_tick(time.perf_counter() - t0, kind)
+        if self.log_interval and self.stats.steps % self.log_interval == 0:
+            logger.info("engine %s", self.stats.snapshot(self))
 
     def run(self, max_steps: int = 10_000):
         steps = 0

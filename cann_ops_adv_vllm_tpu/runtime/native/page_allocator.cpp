@@ -21,6 +21,7 @@ namespace {
 struct Sequence {
     std::vector<int32_t> block_table;  // logical slot -> physical page
     int64_t num_tokens = 0;
+    int64_t trimmed_slots = 0;         // slots < this hold -1 (reclaimed)
 };
 
 class PageAllocator {
@@ -73,7 +74,9 @@ class PageAllocator {
         auto it = seqs_.find(parent_id);
         if (it == seqs_.end() || seqs_.count(child_id)) return -1;
         Sequence child = it->second;
-        for (int32_t p : child.block_table) ++ref_count_[p];
+        for (int32_t p : child.block_table) {
+            if (p >= 0) ++ref_count_[p];
+        }
         seqs_.emplace(child_id, std::move(child));
         return child_id;
     }
@@ -98,12 +101,37 @@ class PageAllocator {
         return fresh;
     }
 
+    // Sliding-window reclaim: release pages that lie wholly before
+    // keep_from_token (the attention window's left edge).  Logical slot
+    // indices of the remaining pages are unchanged — trimmed entries
+    // become -1 placeholders that the decode kernel never reads (their
+    // per-page (begin, end) token window is empty under kv_start, so the
+    // DMA is skipped).  Returns pages freed, -1 on unknown sequence.
+    int64_t trim_front(int64_t seq_id, int64_t keep_from_token) {
+        std::lock_guard<std::mutex> g(mu_);
+        auto it = seqs_.find(seq_id);
+        if (it == seqs_.end()) return -1;
+        Sequence& s = it->second;
+        int64_t cut = keep_from_token / page_size_;
+        if (cut > static_cast<int64_t>(s.block_table.size()))
+            cut = static_cast<int64_t>(s.block_table.size());
+        int64_t freed = 0;
+        for (int64_t i = s.trimmed_slots; i < cut; ++i) {
+            int32_t p = s.block_table[i];
+            if (p >= 0 && --ref_count_[p] == 0) free_list_.push_back(p);
+            s.block_table[i] = -1;
+            ++freed;
+        }
+        if (cut > s.trimmed_slots) s.trimmed_slots = cut;
+        return freed;
+    }
+
     int64_t free_seq(int64_t seq_id) {
         std::lock_guard<std::mutex> g(mu_);
         auto it = seqs_.find(seq_id);
         if (it == seqs_.end()) return -1;
         for (int32_t p : it->second.block_table) {
-            if (--ref_count_[p] == 0) free_list_.push_back(p);
+            if (p >= 0 && --ref_count_[p] == 0) free_list_.push_back(p);
         }
         seqs_.erase(it);
         return 0;
@@ -159,6 +187,10 @@ int64_t pa_fork(void* pa, int64_t parent, int64_t child) {
 }
 int32_t pa_ensure_writable_last(void* pa, int64_t seq_id, int32_t* src) {
     return static_cast<PageAllocator*>(pa)->ensure_writable_last(seq_id, src);
+}
+int64_t pa_trim_front(void* pa, int64_t seq_id, int64_t keep_from_token) {
+    return static_cast<PageAllocator*>(pa)->trim_front(seq_id,
+                                                       keep_from_token);
 }
 int64_t pa_free_seq(void* pa, int64_t seq_id) {
     return static_cast<PageAllocator*>(pa)->free_seq(seq_id);
