@@ -191,10 +191,31 @@ def sp_sparse_attention(mesh, *, page_size, sm_scale=None, ppcb=8):
         sp_idx = jax.lax.axis_index("sp")
         loc_pos, loc_len, loc_table = _local_positions(
             positions, position_lens, block_table, sp_idx, sp_size)
-        out, lse = paged_flash_decode(
-            q, kv_pages, None, loc_table, seq_lens, loc_pos, loc_len,
-            page_size=page_size, sm_scale=sm_scale, ppcb=ppcb,
-            return_lse=True)
+
+        def run(pos_list):
+            out, lse = paged_flash_decode(
+                q, kv_pages, None, loc_table, seq_lens, pos_list, loc_len,
+                page_size=page_size, sm_scale=sm_scale, ppcb=ppcb,
+                return_lse=True)
+            return out, lse
+
+        # Page striping spreads any selected set ~uniformly over shards
+        # (page p → shard p % sp), so a shard's share is ~M/sp.  Run the
+        # kernel over a 2×-margin slice of the compacted local list — the
+        # grid shrinks by ~sp/2 vs the global width — and fall back to the
+        # exact full-width path on the (distribution-dependent) overflow.
+        m = loc_pos.shape[2]
+        sp_static = mesh.shape["sp"]
+        cap = min(m, 2 * ((m + sp_static - 1) // sp_static) + 8)
+        if cap < m:
+            overflow = jnp.any(loc_len > cap)
+            out, lse = jax.lax.cond(
+                overflow,
+                lambda: run(loc_pos),
+                lambda: run(loc_pos[:, :, :cap]),
+            )
+        else:
+            out, lse = run(loc_pos)
         # flash-decode LSE merge across shards (reference:
         # CombineSplitKVRes — rescale by exp(lse_i - lse_tot) and sum)
         lse = lse.astype(jnp.float32)
@@ -205,3 +226,9 @@ def sp_sparse_attention(mesh, *, page_size, sm_scale=None, ppcb=8):
         return jax.lax.psum(out, "sp").astype(q.dtype)
 
     return attend
+
+
+def _pad_result(res, _):
+    """Identity shim: both cond branches must return identical shapes —
+    outputs are [B, H, D]/[B, H] in both, so nothing to pad."""
+    return res

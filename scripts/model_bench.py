@@ -103,7 +103,7 @@ def device_step_slope(cfg, params, eng, args):
             return step(c, None)
         return jax.lax.fori_loop(0, n, body, (tok, kv))
 
-    n1, n2 = 8, 40
+    n1, n2 = 6, 30
     for n in (n1, n2):
         r = chain(tok, kv, n)
         jax.block_until_ready(r)

@@ -39,14 +39,15 @@ HQ = HKV * G
 
 
 def chain_time(step, q, args, iters):
-    """Dependency-chained wall clock, single dispatch.
+    """Per-step seconds via the two-length chain slope.
 
-    The whole iteration chain runs inside one jit (lax.fori_loop over the
-    device-resident dependency chain) — per-call host→device dispatch
-    latency (several ms through the axon tunnel) is paid once and divided
-    by ``iters`` instead of polluting every step.  ``args`` are passed as
-    jit operands (closed-over arrays would be baked into the program as
-    constants — huge compile payloads).
+    Each chain is one jitted ``lax.fori_loop`` over the device-resident
+    dependency chain; per-step cost is the slope between two chain lengths
+    (t = dispatch + n·step), which subtracts the per-call dispatch fixed
+    cost (~24 ms through the axon tunnel) exactly.  Best-of-2 per length
+    de-noises host jitter.  ``args`` are jit operands (closed-over arrays
+    would be baked into the program as constants — huge compile payloads).
+    ``iters`` sets the long chain; the short chain is iters // 6.
     """
     import functools
 
@@ -54,10 +55,15 @@ def chain_time(step, q, args, iters):
     def chain(qq, args, n):
         return jax.lax.fori_loop(0, n, lambda i, acc: step(acc, *args), qq)
 
-    np.asarray(chain(q, args, iters))          # compile + warm
-    t0 = time.time()
-    np.asarray(chain(q, args, iters))
-    return (time.time() - t0) / iters
+    n1, n2 = max(iters // 6, 10), iters
+    for n in (n1, n2):
+        np.asarray(chain(q, args, n))          # compile + warm
+    best = {}
+    for n in (n1, n2, n1, n2):
+        t0 = time.time()
+        np.asarray(chain(q, args, n))
+        best[n] = min(best.get(n, float("inf")), time.time() - t0)
+    return (best[n2] - best[n1]) / (n2 - n1)
 
 
 def run_config(b, ctx, ps, *, int8, iters, warmup, mode, topk, cap_ratio,

