@@ -299,8 +299,71 @@ def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
     return logits, _stack_cache(new_cache)
 
 
-def make_decode_fn(cfg: LlamaConfig):
-    """jit-compiled decode step bound to a config."""
+def stack_layer_params(params):
+    """Stack the per-layer param list into one leading-L pytree.
+
+    All layers share one structure, so ``params["layers"]`` (a list of
+    dicts) stacks leaf-wise into a dict of [L, ...] arrays — the form
+    :func:`decode_step_scan` scans over.  Embed / final-norm / lm_head
+    pass through unchanged.
+    """
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**params, "layers": stacked}
+
+
+def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
+                     block_table, seq_lens, block_ids=None):
+    """:func:`decode_step` with the layer loop as ``lax.scan``.
+
+    The Python-unrolled loop compiles an HLO whose size is O(num_layers);
+    for deep models that dominates compile time (and can exceed remote-
+    compile transport limits).  Scanning over stacked layer params, the
+    per-layer KV cache and per-layer block_ids compiles the layer body
+    ONCE — identical numerics, O(1)-in-depth program size.
+
+    ``params_stacked`` comes from :func:`stack_layer_params`.
+    """
+    x = params_stacked["embed"][token_ids].astype(cfg.dtype)
+    use_sparse = cfg.num_centroids and block_ids is not None
+    xs = (params_stacked["layers"], kv_cache)
+    if use_sparse:
+        xs = xs + (block_ids,)
+
+    def body(x, per_layer):
+        if use_sparse:
+            lp, cache_li, lbi = per_layer
+        else:
+            (lp, cache_li), lbi = per_layer, None
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        attn, cache_li = _attention(cfg, lp, h, cache_li, block_table,
+                                    seq_lens, lbi)
+        x = x + attn.astype(cfg.dtype)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + _mlp(lp, h).astype(cfg.dtype)
+        return x, cache_li
+
+    x, new_cache = jax.lax.scan(body, x, xs)
+    x = rms_norm(x, params_stacked["ln_f"], cfg.rms_eps)
+    logits = (x @ params_stacked["lm_head"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_decode_fn(cfg: LlamaConfig, scan_layers: bool = False):
+    """jit-compiled decode step bound to a config.
+
+    ``scan_layers=True`` compiles the layer loop as ``lax.scan`` (pass
+    :func:`stack_layer_params`-stacked params) — same numerics, O(1)-in-
+    depth program size; the right choice for deep models.
+    """
+    if scan_layers:
+        @jax.jit
+        def fn(params, token_ids, kv_cache, block_table, seq_lens,
+               block_ids=None):
+            return decode_step_scan(cfg, params, token_ids, kv_cache,
+                                    block_table, seq_lens, block_ids)
+        return fn
+
     @jax.jit
     def fn(params, token_ids, kv_cache, block_table, seq_lens,
            block_ids=None):
@@ -393,8 +456,75 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
     return logits, _stack_cache(new_cache)
 
 
-def make_prefill_fn(cfg: LlamaConfig):
-    """jit-compiled chunked-prefill step bound to a config."""
+def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
+                            kv_cache, block_table, start_pos,
+                            valid_lens=None):
+    """:func:`prefill_chunk_step` with the layer loop as ``lax.scan``
+    (stacked params from :func:`stack_layer_params`) — identical
+    numerics, O(1)-in-depth program size (see :func:`decode_step_scan`).
+    """
+    from ..ops.prefill import paged_prefill_attention, write_prompt_chunk
+
+    b, t = token_ids.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params_stacked["embed"][token_ids].astype(cfg.dtype)
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+
+    def body(x, per_layer):
+        lp, cache_li = per_layer
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q = h @ lp["wq"]
+        k = h @ lp["wk"]
+        v = h @ lp["wv"]
+        if "bq" in lp:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q = rope(q.reshape(b, t, nq, hd), pos, cfg.rope_theta)
+        k = rope(k.reshape(b, t, nkv, hd), pos, cfg.rope_theta)
+        v = v.reshape(b, t, nkv, hd)
+        cache_li = write_prompt_chunk(cache_li, k, v, block_table,
+                                      start_pos, page_size=cfg.page_size,
+                                      valid_lens=valid_lens)
+        if isinstance(cache_li, dict):
+            pages, kv_scales = cache_li["kv"], cache_li["ts"]
+        else:
+            pages, kv_scales = cache_li, None
+        attn = paged_prefill_attention(q, pages, block_table, start_pos,
+                                       kv_scales=kv_scales,
+                                       page_size=cfg.page_size,
+                                       sliding_window=cfg.sliding_window)
+        attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
+        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + _mlp(lp, h).astype(cfg.dtype)
+        return x, cache_li
+
+    x, new_cache = jax.lax.scan(body, x, (params_stacked["layers"],
+                                          kv_cache))
+    if valid_lens is None:
+        last = x[:, -1]
+    else:
+        idx = jnp.clip(valid_lens.astype(jnp.int32) - 1, 0, t - 1)
+        last = jnp.take_along_axis(
+            x, idx[:, None, None], axis=1)[:, 0]
+    last = rms_norm(last, params_stacked["ln_f"], cfg.rms_eps)
+    logits = (last @ params_stacked["lm_head"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_prefill_fn(cfg: LlamaConfig, scan_layers: bool = False):
+    """jit-compiled chunked-prefill step bound to a config.
+
+    ``scan_layers=True``: pass :func:`stack_layer_params`-stacked params.
+    """
+    if scan_layers:
+        @jax.jit
+        def fn(params, token_ids, kv_cache, block_table, start_pos,
+               valid_lens):
+            return prefill_chunk_step_scan(cfg, params, token_ids,
+                                           kv_cache, block_table,
+                                           start_pos, valid_lens)
+        return fn
+
     @jax.jit
     def fn(params, token_ids, kv_cache, block_table, start_pos, valid_lens):
         return prefill_chunk_step(cfg, params, token_ids, kv_cache,

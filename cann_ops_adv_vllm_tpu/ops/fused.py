@@ -96,8 +96,19 @@ def sparse_paged_fusion_attention(
     # attention consumes one position list per KV head: in per_qhead mode
     # take the first H_kv rows (bitwise what the reference kernel reads —
     # blockPositionBaseOffset = b·kvHeadNum·maxPos, split header :258)
-    attn_positions = positions[:, :h_kv, :]
-    attn_lens = position_lens[:, :h_kv, 0]
+    if k >= l1_cent.shape[1] and group_mode == "kv_group":
+        # k ≥ C selects every cluster, so every KV head's position list is
+        # the same masked iota (see cent_select's k≥C fast path) — hand the
+        # kernel ONE shared row (H_pos=1).  The slab kernel then fetches
+        # each page's all-heads record with ONE strided DMA descriptor
+        # instead of H_kv per-head descriptors; at the canonical 128K
+        # config this lifts the sparse path out of its descriptor-rate
+        # bound (8×128 → 128 descriptors per step).
+        attn_positions = positions[:, :1, :]
+        attn_lens = position_lens[:, :1, 0]
+    else:
+        attn_positions = positions[:, :h_kv, :]
+        attn_lens = position_lens[:, :h_kv, 0]
 
     # the workload cap bounds attended pages at page_len/ratio ≤
     # max_page/ratio (static) — slice the position list so the kernel grid

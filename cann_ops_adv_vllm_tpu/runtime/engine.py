@@ -54,7 +54,6 @@ class EngineStats:
     prompt_tokens: int = 0
     requests_admitted: int = 0
     requests_completed: int = 0
-    preempted: int = 0
     _lat_window: deque = dataclasses.field(
         default_factory=lambda: deque(maxlen=512))
 

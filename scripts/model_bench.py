@@ -83,34 +83,38 @@ def engine_run(cfg, params, args, prompt):
 
 
 def device_step_slope(cfg, params, eng, args):
-    """Chip-only decode-step latency: chain the jitted full-model step."""
-    decode = llama.make_decode_fn(cfg)
+    """Chip-only decode-step latency: two-length fori_loop chain slope.
+
+    Uses the scan-over-layers decode (llama.decode_step_scan) so the
+    chained program's HLO is O(1) in depth — the per-layer-unrolled chain
+    exceeded the remote-compile transport at L=8.
+    """
+    stacked = llama.stack_layer_params(params)
     kv = eng.kv_cache
     bt = jnp.asarray(eng._bt_host)
-    seq = jnp.full((args.batch,), args.ctx, jnp.int32)
-    tok = jnp.zeros((args.batch,), jnp.int32)
+    seq = jnp.full((eng.max_batch,), args.ctx, jnp.int32)
+    tok = jnp.zeros((eng.max_batch,), jnp.int32)
     bids = eng.block_ids
 
-    def step(carry, kv_kv):
-        t, kv_c = carry
-        logits, kv_c = llama.decode_step(cfg, params, t, kv_c, bt, seq,
-                                         bids)
-        return (jnp.argmax(logits, -1).astype(jnp.int32), kv_c)
-
+    # params/tables must be jit OPERANDS — closed-over arrays are baked
+    # into the program as constants (GB-scale compile payloads)
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(tok, kv, n):
+    def chain(tok, kv, stacked, bt, seq, bids, n):
         def body(i, c):
-            return step(c, None)
+            t, kv_c = c
+            logits, kv_c = llama.decode_step_scan(
+                cfg, stacked, t, kv_c, bt, seq, bids)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), kv_c)
         return jax.lax.fori_loop(0, n, body, (tok, kv))
 
-    n1, n2 = 6, 30
+    n1, n2 = 8, 40
+    ops = (stacked, bt, seq, bids)
     for n in (n1, n2):
-        r = chain(tok, kv, n)
-        jax.block_until_ready(r)
+        jax.block_until_ready(chain(tok, kv, *ops, n))
     best = {}
     for n in (n1, n2, n1, n2):
         t0 = time.time()
-        jax.block_until_ready(chain(tok, kv, n))
+        jax.block_until_ready(chain(tok, kv, *ops, n))
         best[n] = min(best.get(n, float("inf")), time.time() - t0)
     return (best[n2] - best[n1]) / (n2 - n1)
 

@@ -120,6 +120,41 @@ want = paged_attention_xla(q, k4, v4, bt, sl, positions, plens,
                            page_size=ps)
 check("int4 sparse", float(jnp.abs(got - want).max()))
 
+# --- fused k=C shared-position row == explicit per-head positions ---
+from cann_ops_adv_vllm_tpu.ops.fused import (  # noqa: E402
+    sparse_paged_fusion_attention)
+from cann_ops_adv_vllm_tpu.ops.cent_select import cent_select  # noqa: E402
+
+C = 32
+cent = jnp.asarray(rng.standard_normal((h_kv, C, d)), jnp.float32)
+bids = jnp.asarray(rng.integers(0, C, (h_kv, P)), jnp.int32)
+out_f, pos_f, _ = sparse_paged_fusion_attention(
+    q, kv, bt, cent, bids, sl, k=C, group_mode="kv_group", interpret=False)
+pos_s, plen_s, _ = cent_select(q, cent, bids, bt, sl, k=C,
+                               group_mode="kv_group")
+want = paged_flash_decode(q, kv, None, bt, sl, pos_s[:, :h_kv],
+                          plen_s[:, :h_kv, 0], page_size=ps,
+                          interpret=False)
+check("fused shared-row (k=C)", float(jnp.abs(out_f - want).max()), 2e-5)
+
+# --- int8 KV cache through the model decode step (per-token online) ---
+import dataclasses  # noqa: E402
+from cann_ops_adv_vllm_tpu.models import llama  # noqa: E402
+
+cfg8 = dataclasses.replace(llama.TINY_LLAMA, num_centroids=0,
+                           dtype=jnp.float32, kv_cache_dtype="int8")
+cfgf = dataclasses.replace(cfg8, kv_cache_dtype="auto")
+params = llama.init_params(cfgf, jax.random.key(0))
+tokens = jax.random.randint(jax.random.key(1), (2, 9), 0, cfgf.vocab_size)
+btm = jnp.stack([jnp.arange(8, dtype=jnp.int32),
+                 8 + jnp.arange(8, dtype=jnp.int32)])
+lf, _ = llama.prefill(cfgf, params, tokens, llama.init_kv_cache(cfgf, 16),
+                      btm)
+l8, _ = llama.prefill(cfg8, params, tokens, llama.init_kv_cache(cfg8, 16),
+                      btm)
+check("model int8 KV cache", float(jnp.abs(lf - l8).max()
+                                   / (jnp.abs(lf).max() + 1e-9)), 5e-2)
+
 if fails:
     print("FAILED:", fails)
     sys.exit(1)

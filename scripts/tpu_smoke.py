@@ -5,7 +5,11 @@ reference's canonical config (fused_ifa_v5_torch_case.py:21-41):
 B=1, 32q/8kv heads, D=128, page=128, KV=128K, sparsity 1/8.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -189,3 +189,72 @@ class TestInt8KVCache:
         eng2.add_request(req2)
         eng2.run()
         assert len(req2.generated) == 4
+
+
+class TestScanLayers:
+    """decode_step_scan / prefill_chunk_step_scan == the unrolled loops
+    (O(1)-in-depth HLO for deep-model compiles)."""
+
+    def test_decode_scan_matches_unrolled(self, setup):
+        params = setup
+        b = 2
+        tokens = jnp.asarray([5, 9], jnp.int32)
+        num_pages = 16
+        bt = jnp.stack([jnp.roll(jnp.arange(num_pages, dtype=jnp.int32),
+                                 i * 3) for i in range(b)])
+        kv = llama.init_kv_cache(CFG, num_pages)
+        seq = jnp.asarray([7, 20], jnp.int32)
+        l_a, kv_a = llama.decode_step(CFG, params, tokens, kv, bt, seq)
+        stacked = llama.stack_layer_params(params)
+        l_b, kv_b = llama.decode_step_scan(CFG, stacked, tokens, kv, bt,
+                                           seq)
+        np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(kv_a), np.asarray(kv_b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_decode_scan_sparse_and_int8(self, setup):
+        cfg = dataclasses.replace(CFG, num_centroids=8, top_k_clusters=2,
+                                  kv_cache_dtype="int8")
+        params = llama.init_params(cfg, jax.random.key(5))
+        b, num_pages = 1, 8
+        bt = jnp.arange(num_pages, dtype=jnp.int32)[None]
+        kv = llama.init_kv_cache(cfg, num_pages)
+        bids = jnp.asarray(np.random.default_rng(0).integers(
+            0, 8, (cfg.num_layers, cfg.num_kv_heads, num_pages)), jnp.int32)
+        tokens = jnp.asarray([3], jnp.int32)
+        seq = jnp.asarray([30], jnp.int32)
+        l_a, kv_a = llama.decode_step(cfg, params, tokens, kv, bt, seq,
+                                      bids)
+        l_b, kv_b = llama.decode_step_scan(
+            cfg, llama.stack_layer_params(params), tokens, kv, bt, seq,
+            bids)
+        # scan changes XLA fusion/rounding order at ~1e-6; int8 cache rows
+        # may flip one quantization bucket on a rounding boundary
+        np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b),
+                                   rtol=1e-4, atol=1e-4)
+        d = np.abs(np.asarray(kv_a["kv"], np.int32)
+                   - np.asarray(kv_b["kv"], np.int32))
+        assert d.max() <= 1
+
+    def test_prefill_scan_matches_unrolled(self, setup):
+        params = setup
+        b, s = 2, 19
+        tokens = jax.random.randint(jax.random.key(6), (b, s), 0,
+                                    CFG.vocab_size)
+        num_pages = 16
+        bt = jnp.stack([jnp.roll(jnp.arange(num_pages, dtype=jnp.int32),
+                                 i * 3) for i in range(b)])
+        kv = llama.init_kv_cache(CFG, num_pages)
+        start = jnp.zeros((b,), jnp.int32)
+        vl = jnp.asarray([s, s - 4], jnp.int32)
+        l_a, kv_a = llama.prefill_chunk_step(CFG, params, tokens, kv, bt,
+                                             start, vl)
+        l_b, kv_b = llama.prefill_chunk_step_scan(
+            CFG, llama.stack_layer_params(params), tokens, kv, bt, start,
+            vl)
+        # scan changes XLA fusion/rounding order at the ~1e-6 level
+        np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(kv_a), np.asarray(kv_b),
+                                   rtol=1e-4, atol=1e-4)
