@@ -18,7 +18,14 @@ demo runs in CI without multi-host hardware:
   against a local single-device reference — no cross-host result
   gathering is needed for the parity check.
 
-Usage:  python scripts/multihost_demo.py          (parent: spawns 2 procs)
+``--config5`` runs the BASELINE config-5 shape instead of the tiny CI
+config: Llama-3-70B attention geometry (GQA 64 q / 8 kv heads, D=128,
+hidden 8192), 32K context, per-token INT8 KV cache, dp=2 hosts × tp=4 —
+depth and FFN/vocab width reduced so the CPU demo stays memory-bounded
+(the attention path, cache layout, sharding and collectives are the
+full-size ones).
+
+Usage:  python scripts/multihost_demo.py [--config5]   (parent: spawns 2)
         PROC_ID=<0|1> python scripts/multihost_demo.py   (worker)
 """
 
@@ -35,7 +42,7 @@ LOCAL_DEVICES = 4
 PORT = int(os.environ.get("MH_PORT", "8476"))
 
 
-def worker(proc_id: int) -> None:
+def worker(proc_id: int, config5: bool = False) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -59,16 +66,32 @@ def worker(proc_id: int) -> None:
     assert jax.process_count() == N_PROC
     assert len(jax.devices()) == N_PROC * LOCAL_DEVICES
 
-    cfg = dataclasses.replace(
-        llama.TINY_LLAMA, num_layers=2, num_heads=8, num_kv_heads=4,
-        num_centroids=0, page_size=16, dtype=jnp.float32)
+    if config5:
+        # BASELINE config 5: Llama-3-70B attention geometry, 32K ctx,
+        # INT8 KV, ≥2 hosts.  Depth/FFN/vocab shrunk for CPU memory; the
+        # attention shape (64/8 heads, D=128, hidden 8192), the paged
+        # int8 cache at 32K, and the dp-over-DCN × tp-over-ICI layout are
+        # the real thing.
+        cfg = dataclasses.replace(
+            llama.LLAMA_3_70B, num_layers=1, vocab_size=1024,
+            intermediate_size=1024, num_centroids=0,
+            kv_cache_dtype="int8", dtype=jnp.float32)
+        ctx = 32 * 1024
+        b_local = 2
+        mp = ctx // cfg.page_size                 # 256 block-table slots
+        pool = mp + 2
+    else:
+        cfg = dataclasses.replace(
+            llama.TINY_LLAMA, num_layers=2, num_heads=8, num_kv_heads=4,
+            num_centroids=0, page_size=16, dtype=jnp.float32)
+        b_local, pool, mp = 2, 16, 8
+        ctx = 3 * cfg.page_size
     dp, tp = N_PROC, LOCAL_DEVICES
     # jax.devices() orders process-major: reshaping (dp, tp, 1, 1) puts
     # each process's 4 local devices in one dp row → dp crosses DCN,
     # tp stays intra-host
     mesh = make_mesh(dp=dp, tp=tp, sp=1, devices=jax.devices())
 
-    b_local, pool, mp = 2, 16, 8
     b = b_local * dp
     num_pages = pool * dp
 
@@ -88,16 +111,32 @@ def worker(proc_id: int) -> None:
     tokens_l = rng.integers(0, cfg.vocab_size, b_local).astype(np.int32)
     bt_l = np.stack([np.roll(np.arange(mp, dtype=np.int32), i)
                      for i in range(b_local)])
-    seq_l = np.full((b_local,), 3 * cfg.page_size, np.int32)
-    cache_l = np.zeros((cfg.num_layers, cfg.num_kv_heads, pool,
-                        cfg.page_size, 2 * cfg.head_dim), np.float32)
+    seq_l = np.full((b_local,), ctx - 5, np.int32)
     rng_fill = np.random.default_rng(100 + proc_id)
-    cache_l[:] = rng_fill.standard_normal(cache_l.shape).astype(np.float32)
+    if cfg.kv_cache_dtype == "int8":
+        kv_l = rng_fill.integers(
+            -112, 112, (cfg.num_layers, cfg.num_kv_heads, pool,
+                        cfg.page_size, 2 * cfg.head_dim)).astype(np.int8)
+        ts_l = np.zeros((cfg.num_layers, cfg.num_kv_heads, pool, 4,
+                         cfg.page_size), np.float32)
+        ts_l[:, :, :, 0] = 0.008 + 0.004 * rng_fill.random(
+            ts_l[:, :, :, 0].shape)                       # k per-token scale
+        ts_l[:, :, :, 2] = 0.008 + 0.004 * rng_fill.random(
+            ts_l[:, :, :, 2].shape)                       # v per-token scale
+        cache_l = {"kv": kv_l, "ts": ts_l}
+    else:
+        cache_l = rng_fill.standard_normal(
+            (cfg.num_layers, cfg.num_kv_heads, pool, cfg.page_size,
+             2 * cfg.head_dim)).astype(np.float32)
 
     tokens = dp_shard(P("dp"), tokens_l)
     bt = dp_shard(P("dp", None), bt_l)
     seq = dp_shard(P("dp"), seq_l)
-    kv_cache = dp_shard(kv_cache_spec(), cache_l)
+    if isinstance(cache_l, dict):
+        kv_cache = {k: dp_shard(kv_cache_spec(), v)
+                    for k, v in cache_l.items()}
+    else:
+        kv_cache = dp_shard(kv_cache_spec(), cache_l)
 
     step = tp_decode_step(cfg, mesh)
     logits, new_cache = step(params_g, tokens, kv_cache, bt, seq)
@@ -106,32 +145,37 @@ def worker(proc_id: int) -> None:
     # local reference: this replica's rows against its private pool
     ref_logits, ref_cache = llama.decode_step(
         cfg, params, jnp.asarray(tokens_l),
-        jnp.asarray(cache_l), jnp.asarray(bt_l), jnp.asarray(seq_l))
+        jax.tree.map(jnp.asarray, cache_l), jnp.asarray(bt_l),
+        jnp.asarray(seq_l))
 
     # logits are sharded over dp and replicated over tp: every local
     # device holds this process's dp shard — read one copy
+    tol = 2e-3 if cfg.kv_cache_dtype == "int8" else 2e-4
     local = np.asarray(logits.addressable_shards[0].data)
     np.testing.assert_allclose(local, np.asarray(ref_logits),
-                               rtol=2e-4, atol=2e-4)
-    print(f"[proc {proc_id}] dp-over-DCN decode parity OK "
+                               rtol=tol, atol=tol)
+    tag = ("config-5 (70B-geometry, 32K ctx, int8 KV) " if config5 else "")
+    print(f"[proc {proc_id}] dp-over-DCN {tag}decode parity OK "
           f"(local batch {b_local}/{b}, {jax.process_count()} hosts)")
     jax.distributed.shutdown()
 
 
 def main():
+    config5 = "--config5" in sys.argv
     if "PROC_ID" in os.environ:
-        worker(int(os.environ["PROC_ID"]))
+        worker(int(os.environ["PROC_ID"]), config5)
         return
     procs = []
     for pid in range(N_PROC):
         env = dict(os.environ, PROC_ID=str(pid))
-        procs.append(subprocess.Popen([sys.executable, __file__], env=env))
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__] + sys.argv[1:], env=env))
     rc = 0
     for p in procs:
-        rc |= p.wait(timeout=420)
+        rc |= p.wait(timeout=900 if config5 else 420)
     if rc:
         sys.exit(rc)
-    print("MULTIHOST DEMO OK")
+    print("MULTIHOST DEMO OK" + (" (config 5)" if config5 else ""))
 
 
 if __name__ == "__main__":

@@ -55,15 +55,24 @@ def chain_time(step, q, args, iters):
     def chain(qq, args, n):
         return jax.lax.fori_loop(0, n, lambda i, acc: step(acc, *args), qq)
 
+    def slope(n1, n2):
+        for n in (n1, n2):
+            np.asarray(chain(q, args, n))      # compile + warm
+        best = {}
+        for n in (n1, n2, n1, n2):
+            t0 = time.time()
+            np.asarray(chain(q, args, n))
+            best[n] = min(best.get(n, float("inf")), time.time() - t0)
+        return (best[n2] - best[n1]) / (n2 - n1)
+
     n1, n2 = max(iters // 6, 10), iters
-    for n in (n1, n2):
-        np.asarray(chain(q, args, n))          # compile + warm
-    best = {}
-    for n in (n1, n2, n1, n2):
-        t0 = time.time()
-        np.asarray(chain(q, args, n))
-        best[n] = min(best.get(n, float("inf")), time.time() - t0)
-    return (best[n2] - best[n1]) / (n2 - n1)
+    t = slope(n1, n2)
+    # fast steps (µs-scale) need the long chain to span ≳20 ms of device
+    # time or host jitter swamps the slope — grow n2 and re-measure
+    if t * n2 < 0.02:
+        n2 = min(int(0.02 / max(t, 5e-7)), 40000)
+        t = slope(max(n2 // 6, n1), n2)
+    return t
 
 
 def run_config(b, ctx, ps, *, int8, iters, warmup, mode, topk, cap_ratio,
