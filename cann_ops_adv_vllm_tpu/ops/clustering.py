@@ -119,6 +119,25 @@ def assign_pages(kv_pages, centroids, valid_rows=None):
                       axis=-1).astype(jnp.int32)
 
 
+@jax.jit
+def assign_pages_quantized(kv_pages, ts_pages, centroids):
+    """:func:`assign_pages` for the int8 per-token KV cache.
+
+    kv_pages [H_kv, P, ps, 2D] int8, ts_pages [H_kv, P, 4, ps] (rows
+    0/1 = K scale/offset): keys are dequantized row-wise before the mean.
+    """
+    d = centroids.shape[-1]
+    k = kv_pages[..., :d].astype(jnp.float32)
+    k = (k * ts_pages[:, :, 0, :, None] + ts_pages[:, :, 1, :, None])
+    mean_k = jnp.mean(k, axis=2)                              # [H, P, D]
+    dots = jnp.einsum("hpd,hcd->hpc", mean_k,
+                      centroids.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
+    return jnp.argmax(dots - 0.5 * c_sq[:, None, :],
+                      axis=-1).astype(jnp.int32)
+
+
 def build_index(kv_pages, num_clusters, *, sample_pages=None, iters=10,
                 key=None):
     """keys in cache → (l1_cent [H_kv, C, D] fp32, block_ids [H_kv, P] i32).

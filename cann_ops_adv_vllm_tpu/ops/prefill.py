@@ -95,7 +95,11 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
     n_blocks = (max_page + kv_block_pages - 1) // kv_block_pages
     bk = kv_block_pages * page_size
 
-    qg = (q.reshape(b, t, h_kv, g, d).astype(jnp.float32)
+    # matmuls run in q's dtype (bf16 models hit the MXU's native bf16
+    # path; fp32 inputs keep fp32 matmuls) with fp32 accumulation; the
+    # softmax running state is always fp32
+    mm_dt = q.dtype
+    qg = (q.reshape(b, t, h_kv, g, d)
           .transpose(0, 2, 3, 1, 4))                      # [B,Hkv,G,T,D]
     q_pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
 
@@ -109,7 +113,7 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
         k_scale, k_offset, v_scale, v_offset = (
             s.astype(jnp.float32) for s in kv_scales)
 
-    def body(carry, blk):
+    def body(blk, carry):
         m, l, acc = carry
         slot0 = blk * kv_block_pages
         slots = slot0 + jnp.arange(kv_block_pages)
@@ -120,7 +124,8 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
             axis=1)                                        # [B, kbp]
         pids = jnp.clip(pids, 0, num_pages - 1)
         kv_blk = kv_pages[:, pids]                          # [Hkv,B,kbp,ps,2D]
-        kv_blk = kv_blk.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
+        kv_blk = kv_blk.transpose(1, 0, 2, 3, 4).astype(
+            jnp.float32 if kv_scales is not None else mm_dt)
         k = kv_blk[..., :d].reshape(b, h_kv, bk, d)
         v = kv_blk[..., d:].reshape(b, h_kv, bk, d)
         if per_token:
@@ -131,11 +136,13 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
             ko = ts[:, :, :, 1].reshape(b, h_kv, bk)
             vs = ts[:, :, :, 2].reshape(b, h_kv, bk)
             vo = ts[:, :, :, 3].reshape(b, h_kv, bk)
-            k = k * ks[..., None] + ko[..., None]
-            v = v * vs[..., None] + vo[..., None]
+            k = (k * ks[..., None] + ko[..., None]).astype(mm_dt)
+            v = (v * vs[..., None] + vo[..., None]).astype(mm_dt)
         elif kv_scales is not None:
-            k = k * k_scale[None, :, None, :] + k_offset[None, :, None, :]
-            v = v * v_scale[None, :, None, :] + v_offset[None, :, None, :]
+            k = (k * k_scale[None, :, None, :]
+                 + k_offset[None, :, None, :]).astype(mm_dt)
+            v = (v * v_scale[None, :, None, :]
+                 + v_offset[None, :, None, :]).astype(mm_dt)
 
         kv_pos = (slot0 * page_size
                   + jnp.arange(bk, dtype=jnp.int32))        # [bk]
@@ -157,14 +164,25 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
         p = jnp.where(mask[:, None, None], p, 0.0)
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         acc_next = acc * alpha + jnp.einsum(
-            "bhgtk,bhkd->bhgtd", p, v, preferred_element_type=jnp.float32)
-        return (m_next, l_next, acc_next), None
+            "bhgtk,bhkd->bhgtd", p.astype(mm_dt), v,
+            preferred_element_type=jnp.float32)
+        return (m_next, l_next, acc_next)
 
     m0 = jnp.full((b, h_kv, g, t, 1), MASK_VALUE, jnp.float32)
     l0 = jnp.zeros((b, h_kv, g, t, 1), jnp.float32)
     a0 = jnp.zeros((b, h_kv, g, t, d), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
-                                  jnp.arange(n_blocks))
+    # only blocks overlapping the causal window [win_lo, max q_pos] hold
+    # attendable tokens — chunked prefill then does triangular, not
+    # rectangular, total work (chunk c touches ~c blocks, not max_page)
+    hi_pos = jnp.max(start_pos.astype(jnp.int32)) + t      # 1 past last q
+    blk_hi = jnp.minimum((hi_pos + bk - 1) // bk, n_blocks)
+    if sliding_window:
+        lo_pos = jnp.maximum(
+            jnp.min(start_pos.astype(jnp.int32)) - sliding_window + 1, 0)
+        blk_lo = lo_pos // bk
+    else:
+        blk_lo = jnp.int32(0)
+    m, l, acc = jax.lax.fori_loop(blk_lo, blk_hi, body, (m0, l0, a0))
     l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
     out = (acc * l_inv).transpose(0, 3, 1, 2, 4).reshape(b, t, h_q, d)
     return out.astype(q.dtype)

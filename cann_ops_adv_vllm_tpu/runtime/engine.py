@@ -110,9 +110,15 @@ class DecodeEngine:
                  max_batch: int = 8, max_page: Optional[int] = None,
                  sample_fn: Optional[Callable] = None, seed: int = 0,
                  prefill_chunk: Optional[int] = None,
-                 log_interval: int = 0):
+                 log_interval: int = 0,
+                 centroid_refresh_interval: int = 32,
+                 scan_layers: bool = False):
         self.cfg = cfg
-        self.params = params
+        #: scan_layers compiles the layer loop as lax.scan over stacked
+        #: params — O(1)-in-depth HLO; the right choice for deep models
+        #: (models.llama.decode_step_scan)
+        self.params = (llama.stack_layer_params(params) if scan_layers
+                       else params)
         self.max_batch = max_batch
         self.max_page = max_page or (num_pages // max(max_batch, 1))
         self.allocator = PageAllocator(num_pages, cfg.page_size)
@@ -121,6 +127,19 @@ class DecodeEngine:
             jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages),
                       jnp.int32)
             if cfg.num_centroids else None)
+        #: lazy centroid maintenance: every `centroid_refresh_interval`
+        #: ticks (and after each prefill burst) pages are re-assigned to
+        #: the nearest codebook centroid of their mean key — one small
+        #: device call (ops.clustering.assign_pages) per refresh
+        self.centroid_refresh_interval = centroid_refresh_interval
+        self._cents = None
+        self._ticks_since_refresh = 0
+        if cfg.num_centroids:
+            layers = params["layers"]
+            if isinstance(layers, list) and "l1_cent" in layers[0]:
+                self._cents = jnp.stack([lp["l1_cent"] for lp in layers])
+            elif isinstance(layers, dict) and "l1_cent" in layers:
+                self._cents = layers["l1_cent"]     # already [L, H, C, D]
         self.sample_fn = sample_fn
         self._sampler = sampling.make_sampler()
         self._key = jax.random.key(seed)
@@ -128,13 +147,13 @@ class DecodeEngine:
         self.waiting: deque[Request] = deque()
         self.running: dict[int, Request] = {}
         self.slots: list[Optional[int]] = [None] * max_batch
-        self._decode = llama.make_decode_fn(cfg)
+        self._decode = llama.make_decode_fn(cfg, scan_layers=scan_layers)
         #: chunked prefill: prompts advance `prefill_chunk` tokens per tick
         #: through one batched prefill_chunk_step (page-sized chunks by
         #: default; 1 falls back to token-at-a-time through decode)
         self.prefill_chunk = (cfg.page_size if prefill_chunk is None
                               else prefill_chunk)
-        self._prefill = (llama.make_prefill_fn(cfg)
+        self._prefill = (llama.make_prefill_fn(cfg, scan_layers=scan_layers)
                          if self.prefill_chunk > 1 else None)
         self._pf_tokens = np.zeros((max_batch, max(self.prefill_chunk, 1)),
                                    np.int32)
@@ -243,6 +262,33 @@ class DecodeEngine:
             any_active = True
         return any_active
 
+    def refresh_block_ids(self):
+        """Re-assign every physical page to its nearest centroid.
+
+        The reference assumes an offline IVF pipeline maintains
+        ``block_ids``; here the engine owns the cache writes, so it also
+        owns the assignment (ops.clustering.assign_pages — one einsum per
+        layer, device-resident).
+        """
+        if self._cents is None:
+            return
+        from ..ops.clustering import assign_pages, assign_pages_quantized
+        if isinstance(self.kv_cache, dict):
+            self.block_ids = jax.vmap(assign_pages_quantized)(
+                self.kv_cache["kv"], self.kv_cache["ts"], self._cents)
+        else:
+            self.block_ids = jax.vmap(assign_pages)(
+                self.kv_cache, self._cents)
+        self._ticks_since_refresh = 0
+
+    def _maybe_refresh_block_ids(self, force: bool = False):
+        if self._cents is None:
+            return
+        self._ticks_since_refresh += 1
+        if force or (self._ticks_since_refresh
+                     >= self.centroid_refresh_interval):
+            self.refresh_block_ids()
+
     def _trim_window(self, seq_id: int, n_tokens: int):
         """Sliding-window page reclaim: pages wholly behind the attention
         window (kv_start = n − W, the same edge models.llama._attention
@@ -331,6 +377,9 @@ class DecodeEngine:
             self._dev(self._pf_valid),
         )
         if finishing:
+            # prompts finished prefilling: their pages are fully written —
+            # refresh centroid assignments before decode starts selecting
+            self._maybe_refresh_block_ids(force=True)
             next_tokens = self._sample(logits)
             for i in finishing:
                 self._finish_or_continue(i, self.running[self.slots[i]],
@@ -361,6 +410,7 @@ class DecodeEngine:
         if not self._assemble():
             return bool(self.waiting)
 
+        self._maybe_refresh_block_ids()
         logits, self.kv_cache = self._decode(
             self.params,
             self._dev(self._tokens),

@@ -272,3 +272,69 @@ class TestSlidingWindowReclaim:
         l2, _ = llama.decode_step(cfg, params, last, kv_z, bt, seq)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=0, atol=0)
+
+
+class TestCentroidMaintenance:
+    def test_block_ids_refresh_after_prefill(self):
+        """Sparse engine: block_ids are re-assigned from the written cache
+        (matching ops.clustering.assign_pages) once prefill completes."""
+        from cann_ops_adv_vllm_tpu.ops.clustering import assign_pages
+
+        cfg = dataclasses.replace(CFG, num_centroids=8, top_k_clusters=2)
+        params = llama.init_params(cfg, jax.random.key(0))
+        prompt = np.asarray(
+            jax.random.randint(jax.random.key(3), (2 * PS + 5,), 0,
+                               cfg.vocab_size), np.int32)
+        eng = DecodeEngine(cfg, params, num_pages=16, max_batch=2,
+                           max_page=8, prefill_chunk=PS)
+        eng.add_request(Request(seq_id=1, prompt=prompt, max_new_tokens=3))
+        eng.run()
+
+        assert eng._cents is not None
+        # the run's lazy refreshes already produced non-degenerate ids
+        lazy = np.asarray(eng.block_ids)
+        assert lazy.shape == (cfg.num_layers, cfg.num_kv_heads, 16)
+        assert len(np.unique(lazy)) > 1
+        # an explicit refresh matches assign_pages on the final cache
+        eng.refresh_block_ids()
+        want = np.asarray(jax.vmap(assign_pages)(eng.kv_cache, eng._cents))
+        np.testing.assert_array_equal(np.asarray(eng.block_ids), want)
+
+    def test_block_ids_refresh_int8_cache(self):
+        from cann_ops_adv_vllm_tpu.ops.clustering import (
+            assign_pages_quantized)
+
+        cfg = dataclasses.replace(CFG, num_centroids=8, top_k_clusters=2,
+                                  kv_cache_dtype="int8")
+        params = llama.init_params(cfg, jax.random.key(0))
+        prompt = np.asarray(
+            jax.random.randint(jax.random.key(4), (PS + 3,), 0,
+                               cfg.vocab_size), np.int32)
+        eng = DecodeEngine(cfg, params, num_pages=16, max_batch=2,
+                           max_page=8, prefill_chunk=PS)
+        eng.add_request(Request(seq_id=1, prompt=prompt, max_new_tokens=2))
+        eng.run()
+        eng.refresh_block_ids()
+        want = np.asarray(jax.vmap(assign_pages_quantized)(
+            eng.kv_cache["kv"], eng.kv_cache["ts"], eng._cents))
+        np.testing.assert_array_equal(np.asarray(eng.block_ids), want)
+
+
+class TestScanLayersEngine:
+    def test_scan_engine_matches_unrolled(self):
+        """scan_layers=True engine generates the same tokens (fp32)."""
+        cfg = dataclasses.replace(CFG, num_centroids=8, top_k_clusters=8)
+        params = llama.init_params(cfg, jax.random.key(0))
+        prompt = np.asarray(
+            jax.random.randint(jax.random.key(5), (PS + 7,), 0,
+                               cfg.vocab_size), np.int32)
+        outs = []
+        for scan in (False, True):
+            eng = DecodeEngine(cfg, params, num_pages=16, max_batch=2,
+                               max_page=8, prefill_chunk=PS,
+                               scan_layers=scan)
+            req = Request(seq_id=1, prompt=prompt, max_new_tokens=6)
+            eng.add_request(req)
+            eng.run()
+            outs.append(list(req.generated))
+        assert outs[0] == outs[1]
