@@ -440,15 +440,52 @@ def incre_flash_attention(
                     "int8 prefix_key needs prefix_antiquant_scale/offset "
                     "(per-token user-KV scales are pool-specific and "
                     "cannot dequantize the prefix pool)")
-        # atten_mask / pse_shift address user-KV token positions; the
-        # shared prefix (system prompt) is fully visible by construction,
-        # so bias tiles feed the user pass only (a prefix-side bias is
-        # available via ops.prefix.shared_prefix_attention directly).
+        # atten_mask / pse_shift indexing: the reference's prefix path
+        # sizes them against totalS = prefixLen + userLen (its tiling
+        # validates "total kv S Size (with shared prefix)"), i.e. they
+        # index the CONCATENATED [prefix || user] KV.  When the tensors
+        # are wider than the user-KV span, split them at the (uniform)
+        # prefix length so reference-shaped inputs land on the right
+        # tokens; narrow tensors address the user KV only (the shared
+        # system prompt is fully visible by construction).
+        prefix_bias = None
+        user_span = block_table.shape[1] * block_size
+        widths = [jnp.asarray(t).shape[-1]
+                  for t in (atten_mask, pse_shift) if t is not None]
+        if widths and max(widths) > user_span:
+            import numpy as _np
+            if isinstance(prefix_lens, jax.core.Tracer):
+                raise ValueError(
+                    "total-S atten_mask/pse_shift with a traced "
+                    "prefix_lens: the split point must be concrete — "
+                    "pass prefix_bias via ops.prefix.shared_prefix_"
+                    "attention directly")
+            pl_arr = _np.asarray(prefix_lens)
+            if pl_arr.max() != pl_arr.min():
+                raise ValueError(
+                    "total-S atten_mask/pse_shift require a uniform "
+                    "prefix length (one shared system prompt); got "
+                    f"prefix_lens={pl_arr.tolist()}")
+            pl = int(pl_arr.max())
+            mask_pre = mask_usr = pse_pre = pse_usr = None
+            if atten_mask is not None:
+                m = jnp.asarray(atten_mask)
+                mask_pre, mask_usr = m[..., :pl], m[..., pl:]
+            if pse_shift is not None:
+                p = jnp.asarray(pse_shift)
+                pse_pre, pse_usr = p[..., :pl], p[..., pl:]
+            prefix_bias = make_bias_pages(
+                atten_mask=mask_pre, pse_shift=pse_pre,
+                max_blocks=prefix_table.shape[1], page_size=block_size)
+            bias = make_bias_pages(
+                atten_mask=mask_usr, pse_shift=pse_usr,
+                max_blocks=block_table.shape[1], page_size=block_size)
         res = shared_prefix_attention(
             q, prefix_key, prefix_table, jnp.asarray(prefix_lens, jnp.int32),
             kv_pages, block_table, seq_lens, kv_scales=kv_scales,
             prefix_kv_scales=prefix_scales, kv_start=kv_start,
-            bias_pages=bias, alibi_slopes=alibi_slopes, out_quant=out_quant,
+            bias_pages=bias, prefix_bias_pages=prefix_bias,
+            alibi_slopes=alibi_slopes, out_quant=out_quant,
             sm_scale=scale_value, page_size=block_size, ppcb=ppcb,
             return_lse=softmax_lse_flag, interpret=interpret)
     else:

@@ -251,6 +251,15 @@ def cent_select(q, l1_cent, block_ids, block_table, seq_len, *, k=64,
         positions = _compact_positions(mask, max_page_num)
         counts = jnp.sum(mask, axis=-1).astype(jnp.int32)      # [B, H]
     if workload_cap_ratio > 0:
+        # The reference caps the LENGTH only, leaving the ascending
+        # GatherMask list untouched (cent_select.cpp:410-414:
+        # pagePositionLength = min(rsvdCnt, workLoadThreshold)), so a
+        # capped selection attends the FIRST len entries of the ascending
+        # list — the sink page (slot 0) always survives, while forced
+        # recent pages at the tail can be dropped.  Verified against the
+        # reference source; this path reproduces that semantics exactly
+        # (including in the k>=C masked-iota fast path, where the list is
+        # the slot iota and a cap keeps the oldest pages).
         cap = jnp.maximum(page_len // workload_cap_ratio, 1)   # [B]
         lengths = jnp.minimum(counts, cap[:, None])
     else:

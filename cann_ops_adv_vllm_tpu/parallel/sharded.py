@@ -226,9 +226,3 @@ def sp_sparse_attention(mesh, *, page_size, sm_scale=None, ppcb=8):
         return jax.lax.psum(out, "sp").astype(q.dtype)
 
     return attend
-
-
-def _pad_result(res, _):
-    """Identity shim: both cond branches must return identical shapes —
-    outputs are [B, H, D]/[B, H] in both, so nothing to pad."""
-    return res

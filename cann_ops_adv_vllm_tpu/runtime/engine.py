@@ -421,6 +421,7 @@ class DecodeEngine:
         )
         next_tokens = self._sample(logits)
 
+        transitioned = False
         for i, seq_id in enumerate(self.slots):
             if seq_id is None:
                 continue
@@ -430,9 +431,16 @@ class DecodeEngine:
                 # token-at-a-time prefill (prefill_chunk <= 1 fallback)
                 self._prefill_cursor[seq_id] = cur + 1
                 if cur + 1 == len(req.prompt):
+                    transitioned = True
                     self._finish_or_continue(i, req, int(next_tokens[i]))
             else:
                 self._finish_or_continue(i, req, int(next_tokens[i]))
+        if transitioned:
+            # prompt ingestion just completed through the decode path
+            # (prefill_chunk <= 1): the pages holding the prompt were
+            # never centroid-assigned — refresh before the next tick's
+            # selection, mirroring _prefill_tick's finishing branch
+            self._maybe_refresh_block_ids(force=True)
         self._observe(t0, "decode")
         return True
 

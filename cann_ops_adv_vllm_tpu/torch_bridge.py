@@ -75,11 +75,14 @@ def _to_torch(x):
     cpu = _cpu_device()
     if cpu is not None:
         try:
-            # fetch to host once, hand torch a zero-copy dlpack view
-            # (bf16 outputs stay bf16)
+            # fetch to host once (bf16 outputs stay bf16); clone the
+            # dlpack view so the caller owns a writable tensor — JAX
+            # arrays are immutable by contract and its runtime may cache/
+            # alias the host buffer, so handing out a writable view would
+            # let an in-place torch op corrupt the JAX array
             host = jax.device_put(x, cpu)
             host.block_until_ready()
-            return torch.from_dlpack(host)
+            return torch.from_dlpack(host).clone()
         except Exception:                            # pragma: no cover
             pass
     arr = np.asarray(x.astype(jnp.float32) if x.dtype == jnp.bfloat16

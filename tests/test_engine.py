@@ -14,6 +14,9 @@ import numpy as np
 from cann_ops_adv_vllm_tpu.models import llama
 from cann_ops_adv_vllm_tpu.runtime.allocator import PageAllocator
 from cann_ops_adv_vllm_tpu.runtime.engine import DecodeEngine, Request
+import pytest
+
+pytestmark = pytest.mark.slow    # model/engine/mesh-level — minutes on CPU; -m 'not slow' for the fast oracle suite
 
 PS = 16
 CFG = dataclasses.replace(llama.TINY_LLAMA, page_size=PS, num_centroids=0,

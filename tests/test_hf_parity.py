@@ -18,6 +18,8 @@ transformers = pytest.importorskip("transformers")
 
 from cann_ops_adv_vllm_tpu.models import hf, llama
 
+pytestmark = pytest.mark.slow    # model/engine/mesh-level — minutes on CPU; -m 'not slow' for the fast oracle suite
+
 
 def _run_ours(cfg, params, tokens, chunk=None):
     """Prefill tokens[:, :-1] (chunked) then decode the last token; return

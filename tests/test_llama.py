@@ -15,6 +15,8 @@ import pytest
 
 from cann_ops_adv_vllm_tpu.models import llama
 
+pytestmark = pytest.mark.slow    # model/engine/mesh-level — minutes on CPU; -m 'not slow' for the fast oracle suite
+
 PS = 16
 
 CFG = dataclasses.replace(

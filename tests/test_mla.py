@@ -12,6 +12,9 @@ import jax.numpy as jnp
 
 from cann_ops_adv_vllm_tpu.models import deepseek
 from cann_ops_adv_vllm_tpu.ops import mla as mla_ops
+import pytest
+
+pytestmark = pytest.mark.slow    # model/engine/mesh-level — minutes on CPU; -m 'not slow' for the fast oracle suite
 
 
 def _latent_oracle(q_eff, latent, block_table, seq_lens, d_v, scale, ps):

@@ -22,6 +22,8 @@ from cann_ops_adv_vllm_tpu.parallel.sharded import (
     tp_decode_step,
 )
 
+pytestmark = pytest.mark.slow    # model/engine/mesh-level — minutes on CPU; -m 'not slow' for the fast oracle suite
+
 PS = 16
 CFG = dataclasses.replace(llama.TINY_LLAMA, page_size=PS, num_centroids=0,
                           dtype=jnp.float32)

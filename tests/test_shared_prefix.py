@@ -273,3 +273,60 @@ def test_api_shared_prefix_path():
         fuse_kv(uk, uv), usr_table, usr_len, page_size=ps)
     np.testing.assert_allclose(np.asarray(out).reshape(b, h_q, d),
                                np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_api_prefix_total_s_mask_split():
+    """Reference-shaped atten_mask/pse over totalS = prefix + user splits
+    at prefix_len: [:pl] biases the prefix pass, [pl:] the user pass
+    (the reference's tiling sizes both against the concatenated KV)."""
+    rng = np.random.default_rng(7)
+    b, h_kv, g, d, ps = 2, 2, 2, 128, 16
+    h_q = h_kv * g
+    mp_pre, mp_usr = 4, 8
+    pl = 2 * ps
+    q = jnp.asarray(rng.standard_normal((b, h_q, d)), jnp.float32)
+    pk = jnp.asarray(rng.standard_normal((h_kv, 8, ps, d)), jnp.float32)
+    pv = jnp.asarray(rng.standard_normal((h_kv, 8, ps, d)), jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((h_kv, 16, ps, d)), jnp.float32)
+    uv = jnp.asarray(rng.standard_normal((h_kv, 16, ps, d)), jnp.float32)
+    pre_table = jnp.arange(mp_pre, dtype=jnp.int32).reshape(1, mp_pre)
+    usr_table = jnp.asarray(
+        rng.permutation(16)[:b * mp_usr].reshape(b, mp_usr), jnp.int32)
+    usr_len = jnp.asarray([40, 70], jnp.int32)
+
+    total_s = pl + mp_usr * ps
+    mask = (rng.random((b, total_s)) < 0.3).astype(np.int8)
+    mask[:, 0] = 0      # keep at least the sink token visible everywhere
+
+    out = api.incre_flash_attention(
+        q.reshape(b, 1, h_q * d), uk, uv, num_heads=h_q,
+        num_key_value_heads=h_kv, block_table=usr_table,
+        actual_seq_lengths=usr_len, block_size=ps,
+        atten_mask=jnp.asarray(mask),
+        prefix_key=fuse_kv(pk, pv), prefix_table=pre_table,
+        prefix_lens=[pl])
+
+    pre_bias = api.make_bias_pages(
+        atten_mask=jnp.asarray(mask[:, :pl]), max_blocks=mp_pre,
+        page_size=ps)
+    usr_bias = api.make_bias_pages(
+        atten_mask=jnp.asarray(mask[:, pl:]), max_blocks=mp_usr,
+        page_size=ps)
+    want = shared_prefix_attention(
+        q, fuse_kv(pk, pv), pre_table, jnp.asarray([pl], jnp.int32),
+        fuse_kv(uk, uv), usr_table, usr_len,
+        bias_pages=usr_bias, prefix_bias_pages=pre_bias, page_size=ps)
+    np.testing.assert_allclose(np.asarray(out).reshape(b, h_q, d),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # non-uniform prefix_lens with a total-S mask must raise, not silently
+    # mis-index
+    import pytest
+    with pytest.raises(ValueError, match="uniform prefix length"):
+        api.incre_flash_attention(
+            q.reshape(b, 1, h_q * d), uk, uv, num_heads=h_q,
+            num_key_value_heads=h_kv, block_table=usr_table,
+            actual_seq_lengths=usr_len, block_size=ps,
+            atten_mask=jnp.asarray(mask),
+            prefix_key=fuse_kv(pk, pv), prefix_table=pre_table,
+            prefix_lens=[pl, pl + 1])
