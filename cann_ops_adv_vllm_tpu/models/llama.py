@@ -269,7 +269,7 @@ def _mlp(p, x):
 
 
 def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
-                seq_lens, block_ids=None):
+                seq_lens, block_ids=None, reduce=None):
     """One decode step over the whole model.
 
     Args:
@@ -279,9 +279,16 @@ def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
       seq_lens:    [B] int32 — lengths *including* the current token.
       block_ids:   optional [L, H_kv, P] int32 cluster ids per layer for
                    centroid sparsity (None → dense attention).
+      reduce:      optional callable applied to each residual branch
+                   (attention o-proj and MLP down-proj outputs).  The
+                   tensor-parallel path (parallel.sharded.tp_decode_step)
+                   passes ``lambda t: psum(t, "tp")`` and a head-sharded
+                   cfg; every other op in the chain is per-KV-head, so
+                   these two reductions are TP's only collectives.
 
     Returns (logits [B, vocab], new_kv_cache).
     """
+    reduce = reduce or (lambda t: t)
     x = params["embed"][token_ids].astype(cfg.dtype)
     new_cache = []
     for li, lp in enumerate(params["layers"]):
@@ -290,9 +297,9 @@ def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
         attn, cache_li = _attention(cfg, lp, h, _layer_cache(kv_cache, li),
                                     block_table, seq_lens, lbi)
         new_cache.append(cache_li)
-        x = x + attn.astype(cfg.dtype)
+        x = x + reduce(attn).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + _mlp(lp, h).astype(cfg.dtype)
+        x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
 
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
@@ -313,7 +320,7 @@ def stack_layer_params(params):
 
 
 def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
-                     block_table, seq_lens, block_ids=None):
+                     block_table, seq_lens, block_ids=None, reduce=None):
     """:func:`decode_step` with the layer loop as ``lax.scan``.
 
     The Python-unrolled loop compiles an HLO whose size is O(num_layers);
@@ -323,7 +330,9 @@ def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
     ONCE — identical numerics, O(1)-in-depth program size.
 
     ``params_stacked`` comes from :func:`stack_layer_params`.
+    ``reduce``: see :func:`decode_step`.
     """
+    reduce = reduce or (lambda t: t)
     x = params_stacked["embed"][token_ids].astype(cfg.dtype)
     use_sparse = cfg.num_centroids and block_ids is not None
     xs = (params_stacked["layers"], kv_cache)
@@ -338,9 +347,9 @@ def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         attn, cache_li = _attention(cfg, lp, h, cache_li, block_table,
                                     seq_lens, lbi)
-        x = x + attn.astype(cfg.dtype)
+        x = x + reduce(attn).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + _mlp(lp, h).astype(cfg.dtype)
+        x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
         return x, cache_li
 
     x, new_cache = jax.lax.scan(body, x, xs)
@@ -390,7 +399,8 @@ def prefill(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
 
 
 def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
-                       block_table, start_pos, valid_lens=None):
+                       block_table, start_pos, valid_lens=None,
+                       reduce=None):
     """Process a chunk of T prompt tokens through every layer at once.
 
     Dense causal attention via ops.prefill.paged_prefill_attention (the
@@ -407,10 +417,11 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
       after every valid position).  0 marks an inactive lane.
 
     Returns (logits of the chunk's last valid token [B, vocab],
-    new kv_cache).
+    new kv_cache).  ``reduce``: see :func:`decode_step`.
     """
     from ..ops.prefill import paged_prefill_attention, write_prompt_chunk
 
+    reduce = reduce or (lambda t: t)
     b, t = token_ids.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = params["embed"][token_ids].astype(cfg.dtype)        # [B, T, H]
@@ -441,9 +452,9 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
                                        page_size=cfg.page_size,
                                        sliding_window=cfg.sliding_window)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
-        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        x = x + reduce(attn @ lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + _mlp(lp, h).astype(cfg.dtype)
+        x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
 
     if valid_lens is None:
         last = x[:, -1]
@@ -458,13 +469,15 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
 
 def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
                             kv_cache, block_table, start_pos,
-                            valid_lens=None):
+                            valid_lens=None, reduce=None):
     """:func:`prefill_chunk_step` with the layer loop as ``lax.scan``
     (stacked params from :func:`stack_layer_params`) — identical
     numerics, O(1)-in-depth program size (see :func:`decode_step_scan`).
+    ``reduce``: see :func:`decode_step`.
     """
     from ..ops.prefill import paged_prefill_attention, write_prompt_chunk
 
+    reduce = reduce or (lambda t: t)
     b, t = token_ids.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = params_stacked["embed"][token_ids].astype(cfg.dtype)
@@ -493,9 +506,9 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
                                        page_size=cfg.page_size,
                                        sliding_window=cfg.sliding_window)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
-        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        x = x + reduce(attn @ lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + _mlp(lp, h).astype(cfg.dtype)
+        x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
         return x, cache_li
 
     x, new_cache = jax.lax.scan(body, x, (params_stacked["layers"],

@@ -38,8 +38,13 @@ def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, ep: int = 1,
     return Mesh(arr, axis_names=("dp", "tp", "sp", "ep"))
 
 
-def param_specs(num_layers: int, sparse: bool) -> dict:
-    """PartitionSpecs for the Llama parameter pytree (TP over heads)."""
+def param_specs(num_layers: int, sparse: bool, stacked: bool = False) -> dict:
+    """PartitionSpecs for the Llama parameter pytree (TP over heads).
+
+    ``stacked=True`` returns specs for the scan-over-layers form
+    (models.llama.stack_layer_params): one dict of [L, ...] arrays, every
+    layer spec gaining a leading replicated axis.
+    """
     layer = {
         "wq": P(None, "tp"),       # columns = heads
         "wk": P(None, "tp"),
@@ -53,9 +58,13 @@ def param_specs(num_layers: int, sparse: bool) -> dict:
     }
     if sparse:
         layer["l1_cent"] = P("tp", None, None)   # per-KV-head codebooks
+    if stacked:
+        layers = {k: P(None, *s) for k, s in layer.items()}
+    else:
+        layers = [dict(layer) for _ in range(num_layers)]
     return {
         "embed": P(None, None),
-        "layers": [dict(layer) for _ in range(num_layers)],
+        "layers": layers,
         "ln_f": P(None),
         "lm_head": P(None, None),
     }
@@ -76,5 +85,26 @@ def shard_params(params, mesh: Mesh, sparse: bool):
     specs = param_specs(len(params["layers"]), sparse)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)))
+
+
+def shard_params_global(params, mesh: Mesh, sparse: bool):
+    """Process-portable params sharder.
+
+    Unlike :func:`shard_params` (single-controller ``device_put``), this
+    builds global arrays from per-process data with
+    ``jax.make_array_from_process_local_data`` — every process holds the
+    SAME host params (replicated model), so each feeds the full array and
+    the result is a valid global array on a multi-process (DCN) mesh as
+    well as on a single-controller virtual mesh.
+    """
+    stacked_tree = not isinstance(params["layers"], list)
+    num_layers = (params["layers"]["wq"].shape[0] if stacked_tree
+                  else len(params["layers"]))
+    specs = param_specs(num_layers, sparse, stacked=stacked_tree)
+    return jax.tree.map(
+        lambda x, s: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, s), np.asarray(x)),
         params, specs,
         is_leaf=lambda x: not isinstance(x, (dict, list)))

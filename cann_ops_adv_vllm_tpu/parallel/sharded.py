@@ -36,19 +36,30 @@ def _psum_if(x, axis):
     return jax.lax.psum(x, axis) if axis else x
 
 
-def tp_decode_step(cfg: llama.LlamaConfig, mesh):
-    """Build a tensor-parallel decode step over mesh axis "tp".
-
-    Per-shard the model is just a narrower Llama (num_heads/tp,
-    num_kv_heads/tp) — the decode code is reused unchanged except for two
-    psums, because every op in the chain is already per-KV-head.
-    """
+def _local_cfg(cfg: llama.LlamaConfig, mesh):
     tp = mesh.shape["tp"]
-    local_cfg = dataclasses.replace(
+    if cfg.num_heads % tp or cfg.num_kv_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide num_heads={cfg.num_heads} and "
+            f"num_kv_heads={cfg.num_kv_heads}")
+    return dataclasses.replace(
         cfg, num_heads=cfg.num_heads // tp,
         num_kv_heads=cfg.num_kv_heads // tp)
 
-    pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids))
+
+def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
+    """Build a tensor-parallel decode step over mesh axis "tp".
+
+    Per-shard the model is just a narrower Llama (num_heads/tp,
+    num_kv_heads/tp) — :func:`models.llama.decode_step` is reused
+    verbatim with ``reduce=psum``, because every op in the chain is
+    already per-KV-head; the o-proj and down-proj psums are TP's only
+    collectives.  ``scan_layers=True`` expects stacked params
+    (llama.stack_layer_params) and scans the layer body.
+    """
+    local_cfg = _local_cfg(cfg, mesh)
+    pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids),
+                         stacked=scan_layers)
     bids_spec = (P(None, "tp", "dp") if cfg.num_centroids else P())
 
     # dp shards the batch (tokens / block tables / seq_lens / logits) and
@@ -63,22 +74,10 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh):
         check_vma=False,
     )
     def step(params, tokens, kv_cache, block_table, seq_lens, block_ids):
-        x = params["embed"][tokens].astype(local_cfg.dtype)
-        new_cache = []
-        for li, lp in enumerate(params["layers"]):
-            h = llama.rms_norm(x, lp["ln_attn"], local_cfg.rms_eps)
-            lbi = block_ids[li] if local_cfg.num_centroids else None
-            attn, cache_li = llama._attention(
-                local_cfg, lp, h, llama._layer_cache(kv_cache, li),
-                block_table, seq_lens, lbi)
-            new_cache.append(cache_li)
-            x = x + _psum_if(attn, "tp").astype(local_cfg.dtype)
-            h = llama.rms_norm(x, lp["ln_mlp"], local_cfg.rms_eps)
-            x = x + _psum_if(llama._mlp(lp, h), "tp").astype(local_cfg.dtype)
-        x = llama.rms_norm(x, params["ln_f"], local_cfg.rms_eps)
-        logits = (x @ params["lm_head"]).astype(jnp.float32)
-        return logits, (llama._stack_cache(new_cache) if new_cache
-                        else kv_cache)
+        fn = llama.decode_step_scan if scan_layers else llama.decode_step
+        bids = block_ids if local_cfg.num_centroids else None
+        return fn(local_cfg, params, tokens, kv_cache, block_table,
+                  seq_lens, bids, reduce=lambda t: _psum_if(t, "tp"))
 
     def wrapped(params, tokens, kv_cache, block_table, seq_lens,
                 block_ids=None):
@@ -88,6 +87,38 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh):
                     block_ids)
 
     return jax.jit(wrapped)
+
+
+def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
+    """Tensor-parallel chunked-prefill step over mesh axes (dp, tp).
+
+    The dp×tp layout of :func:`tp_decode_step` applied to
+    :func:`models.llama.prefill_chunk_step`: token chunks / block tables /
+    start positions sharded over dp, heads (and KV pages) over tp, the
+    same two psums per layer.  Signature matches
+    ``llama.make_prefill_fn``'s: (params, token_ids [B, T], kv_cache,
+    block_table, start_pos [B], valid_lens [B]).
+    """
+    local_cfg = _local_cfg(cfg, mesh)
+    pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids),
+                         stacked=scan_layers)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(pspecs, P("dp", None), kv_cache_spec(), P("dp", None),
+                  P("dp"), P("dp")),
+        out_specs=(P("dp"), kv_cache_spec()),
+        check_vma=False,
+    )
+    def step(params, token_ids, kv_cache, block_table, start_pos,
+             valid_lens):
+        fn = (llama.prefill_chunk_step_scan if scan_layers
+              else llama.prefill_chunk_step)
+        return fn(local_cfg, params, token_ids, kv_cache, block_table,
+                  start_pos, valid_lens,
+                  reduce=lambda t: _psum_if(t, "tp"))
+
+    return jax.jit(step)
 
 
 # --- sequence-parallel sparse attention -------------------------------------

@@ -121,12 +121,9 @@ class DecodeEngine:
                        else params)
         self.max_batch = max_batch
         self.max_page = max_page or (num_pages // max(max_batch, 1))
-        self.allocator = PageAllocator(num_pages, cfg.page_size)
-        self.kv_cache = llama.init_kv_cache(cfg, num_pages)
-        self.block_ids = (
-            jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages),
-                      jnp.int32)
-            if cfg.num_centroids else None)
+        self.allocator = self._build_allocator(num_pages)
+        self.kv_cache = self._build_kv_cache(num_pages)
+        self.block_ids = self._build_block_ids(num_pages)
         #: lazy centroid maintenance: every `centroid_refresh_interval`
         #: ticks (and after each prefill burst) pages are re-assigned to
         #: the nearest codebook centroid of their mean key — one small
@@ -147,13 +144,13 @@ class DecodeEngine:
         self.waiting: deque[Request] = deque()
         self.running: dict[int, Request] = {}
         self.slots: list[Optional[int]] = [None] * max_batch
-        self._decode = llama.make_decode_fn(cfg, scan_layers=scan_layers)
+        self._decode = self._build_decode_fn(scan_layers)
         #: chunked prefill: prompts advance `prefill_chunk` tokens per tick
         #: through one batched prefill_chunk_step (page-sized chunks by
         #: default; 1 falls back to token-at-a-time through decode)
         self.prefill_chunk = (cfg.page_size if prefill_chunk is None
                               else prefill_chunk)
-        self._prefill = (llama.make_prefill_fn(cfg, scan_layers=scan_layers)
+        self._prefill = (self._build_prefill_fn(scan_layers)
                          if self.prefill_chunk > 1 else None)
         self._pf_tokens = np.zeros((max_batch, max(self.prefill_chunk, 1)),
                                    np.int32)
@@ -175,6 +172,29 @@ class DecodeEngine:
         self._bt_pages = np.full((max_batch,), -1, np.int64)
         self.stats = EngineStats()
         self.log_interval = log_interval
+
+    # -- overridable builders (ShardedDecodeEngine swaps in mesh-sharded
+    # -- state and shard_map step functions; the host-side scheduling
+    # -- logic above/below is shared) ----------------------------------------
+
+    def _build_allocator(self, num_pages: int):
+        return PageAllocator(num_pages, self.cfg.page_size)
+
+    def _build_kv_cache(self, num_pages: int):
+        return llama.init_kv_cache(self.cfg, num_pages)
+
+    def _build_block_ids(self, num_pages: int):
+        if not self.cfg.num_centroids:
+            return None
+        return jnp.zeros(
+            (self.cfg.num_layers, self.cfg.num_kv_heads, num_pages),
+            jnp.int32)
+
+    def _build_decode_fn(self, scan_layers: bool):
+        return llama.make_decode_fn(self.cfg, scan_layers=scan_layers)
+
+    def _build_prefill_fn(self, scan_layers: bool):
+        return llama.make_prefill_fn(self.cfg, scan_layers=scan_layers)
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -203,12 +223,17 @@ class DecodeEngine:
             available -= needed
             self.waiting.popleft()
             self.allocator.create_seq(req.seq_id)
-            self.slots[i] = req.seq_id
-            self.running[req.seq_id] = req
-            self._prefill_cursor[req.seq_id] = 0
-            self._bt_pages[i] = -1
-            self.stats.requests_admitted += 1
-            self.stats.prompt_tokens += len(req.prompt)
+            self._place(i, req)
+
+    def _place(self, i: int, req: Request):
+        """Lane bookkeeping for an admitted request (seq already created
+        in its allocator)."""
+        self.slots[i] = req.seq_id
+        self.running[req.seq_id] = req
+        self._prefill_cursor[req.seq_id] = 0
+        self._bt_pages[i] = -1
+        self.stats.requests_admitted += 1
+        self.stats.prompt_tokens += len(req.prompt)
 
     def _release(self, slot_idx: int):
         seq_id = self.slots[slot_idx]
@@ -376,15 +401,24 @@ class DecodeEngine:
             self._dev(self._pf_start),
             self._dev(self._pf_valid),
         )
-        if finishing:
+        if self._agree_any_finishing(bool(finishing)):
             # prompts finished prefilling: their pages are fully written —
-            # refresh centroid assignments before decode starts selecting
+            # refresh centroid assignments before decode starts selecting.
+            # In SPMD (multi-process) mode this branch is entered on EVERY
+            # process when ANY process has a finishing lane — refresh and
+            # sampling are global jitted calls and must launch lock-step.
             self._maybe_refresh_block_ids(force=True)
             next_tokens = self._sample(logits)
             for i in finishing:
                 self._finish_or_continue(i, self.running[self.slots[i]],
                                          int(next_tokens[i]))
         return True
+
+    def _agree_any_finishing(self, flag: bool) -> bool:
+        """Hook: whether this prefill tick runs the finishing branch.
+        Single-process: the local flag.  ShardedDecodeEngine returns the
+        cross-process OR agreed in its tick coordination."""
+        return flag
 
     # -- main loop -----------------------------------------------------------
 
@@ -420,7 +454,12 @@ class DecodeEngine:
             self.block_ids,
         )
         next_tokens = self._sample(logits)
+        self._advance_decode(next_tokens)
+        self._observe(t0, "decode")
+        return True
 
+    def _advance_decode(self, next_tokens):
+        """Advance every active lane after a decode tick's sampled tokens."""
         transitioned = False
         for i, seq_id in enumerate(self.slots):
             if seq_id is None:
@@ -441,8 +480,6 @@ class DecodeEngine:
             # never centroid-assigned — refresh before the next tick's
             # selection, mirroring _prefill_tick's finishing branch
             self._maybe_refresh_block_ids(force=True)
-        self._observe(t0, "decode")
-        return True
 
     def _observe(self, t0: float, kind: str):
         self.stats.observe_tick(time.perf_counter() - t0, kind)

@@ -25,7 +25,16 @@ depth and FFN/vocab width reduced so the CPU demo stays memory-bounded
 (the attention path, cache layout, sharding and collectives are the
 full-size ones).
 
-Usage:  python scripts/multihost_demo.py [--config5]   (parent: spawns 2)
+``--engine`` runs the full ShardedDecodeEngine instead of one decode
+step: **continuous batching across hosts** — each process admits its own
+request stream into its dp replica's lanes (different prompt lengths and
+arrival pattern per host, more requests than lanes so lanes recycle),
+ticks run lock-step over the global mesh, and every process verifies its
+generated tokens against a local single-device DecodeEngine oracle, then
+prints engine tokens/s and p50 tick latency.  ``--engine --config5``
+uses the 70B attention geometry / 32K ctx / int8 KV variant.
+
+Usage:  python scripts/multihost_demo.py [--config5] [--engine]
         PROC_ID=<0|1> python scripts/multihost_demo.py   (worker)
 """
 
@@ -40,6 +49,111 @@ sys.path.insert(0, REPO)
 N_PROC = 2
 LOCAL_DEVICES = 4
 PORT = int(os.environ.get("MH_PORT", "8476"))
+
+
+def engine_worker(proc_id: int, config5: bool = False) -> None:
+    """Continuous batching across 2 processes (dp over DCN × tp local)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    import json
+    import dataclasses as dc
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=N_PROC, process_id=proc_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cann_ops_adv_vllm_tpu.models import llama
+    from cann_ops_adv_vllm_tpu.parallel.mesh import make_mesh
+    from cann_ops_adv_vllm_tpu.runtime.engine import DecodeEngine, Request
+    from cann_ops_adv_vllm_tpu.runtime.sharded_engine import (
+        ShardedDecodeEngine)
+
+    if config5:
+        # config-5 attention geometry (Llama-3-70B heads, 32K ctx, int8
+        # KV); depth/FFN/vocab shrunk so the CPU demo stays memory-bounded
+        cfg = dc.replace(
+            llama.LLAMA_3_70B, num_layers=1, vocab_size=1024,
+            intermediate_size=1024, num_centroids=0,
+            kv_cache_dtype="int8", dtype=jnp.float32)
+        prompt_lens = ([1800, 700] if proc_id == 0 else [2400])
+        pool, max_page, max_new = 40, 32, 8
+    else:
+        cfg = dc.replace(
+            llama.TINY_LLAMA, num_layers=2, num_heads=8, num_kv_heads=4,
+            num_centroids=0, page_size=16, dtype=jnp.float32)
+        prompt_lens = ([9, 21, 34] if proc_id == 0 else [27])
+        pool, max_page, max_new = 24, 8, 6
+    mesh = make_mesh(dp=N_PROC, tp=LOCAL_DEVICES, devices=jax.devices())
+
+    params = llama.init_params(cfg, jax.random.key(0))
+    # per-host request stream: same seed builds the same stream twice
+    n_req = 2 * len(prompt_lens)                  # > lanes → recycling
+    max_batch = 2
+
+    def make_reqs():
+        return [Request(seq_id=1000 * proc_id + i,
+                        prompt=rng_clone.integers(
+                            1, cfg.vocab_size,
+                            prompt_lens[i % len(prompt_lens)]
+                        ).astype(np.int32),
+                        max_new_tokens=max_new)
+                for i in range(n_req)]
+
+    rng_clone = np.random.default_rng(10 + proc_id)
+    reqs = make_reqs()
+    rng_clone = np.random.default_rng(10 + proc_id)
+    reqs_oracle = make_reqs()
+
+    eng = ShardedDecodeEngine(
+        cfg, params, pages_per_replica=pool, mesh=mesh,
+        max_batch=max_batch, max_page=max_page,
+        prefill_chunk=2 * cfg.page_size)
+    for r in reqs:
+        eng.add_request(r)
+    import time
+    t0 = time.perf_counter()
+    eng.run(max_steps=4000)
+    wall = time.perf_counter() - t0
+
+    # local single-device oracle on this host's request stream
+    oracle = DecodeEngine(cfg, params, num_pages=pool * N_PROC,
+                          max_batch=max_batch, max_page=max_page,
+                          prefill_chunk=2 * cfg.page_size)
+    for r in reqs_oracle:
+        oracle.add_request(r)
+    oracle.run(max_steps=4000)
+
+    got = {r.seq_id: list(r.generated) for r in reqs}
+    want = {r.seq_id: list(r.generated) for r in reqs_oracle}
+    match = sum(got[k] == want[k] for k in got)
+    assert all(len(v) == max_new for v in got.values()), got
+    assert match == len(got), (
+        f"[proc {proc_id}] {len(got) - match}/{len(got)} streams diverge "
+        "from the single-device oracle")
+    snap = eng.stats.snapshot(eng)
+    tag = "config-5 " if config5 else ""
+    print(f"[proc {proc_id}] ENGINE {tag}continuous batching across "
+          f"{jax.process_count()} hosts: {len(got)} requests, "
+          f"{snap['tokens_generated']} tokens, oracle parity "
+          f"{match}/{len(got)}", flush=True)
+    print(json.dumps({
+        "proc": proc_id, "mode": f"engine{'-config5' if config5 else ''}",
+        "requests": len(got), "tokens": snap["tokens_generated"],
+        "decode_ticks": snap["decode_ticks"],
+        "prefill_ticks": snap["prefill_ticks"],
+        "engine_tokens_per_s": round(snap["tokens_generated"] / wall, 2),
+        "p50_tick_ms": snap["p50_tick_ms"],
+        "wall_s": round(wall, 2),
+    }), flush=True)
+    jax.distributed.shutdown()
 
 
 def worker(proc_id: int, config5: bool = False) -> None:
@@ -162,8 +276,12 @@ def worker(proc_id: int, config5: bool = False) -> None:
 
 def main():
     config5 = "--config5" in sys.argv
+    engine = "--engine" in sys.argv
     if "PROC_ID" in os.environ:
-        worker(int(os.environ["PROC_ID"]), config5)
+        if engine:
+            engine_worker(int(os.environ["PROC_ID"]), config5)
+        else:
+            worker(int(os.environ["PROC_ID"]), config5)
         return
     procs = []
     for pid in range(N_PROC):
@@ -172,7 +290,7 @@ def main():
             [sys.executable, __file__] + sys.argv[1:], env=env))
     rc = 0
     for p in procs:
-        rc |= p.wait(timeout=900 if config5 else 420)
+        rc |= p.wait(timeout=1800 if (config5 or engine) else 420)
     if rc:
         sys.exit(rc)
     print("MULTIHOST DEMO OK" + (" (config 5)" if config5 else ""))
