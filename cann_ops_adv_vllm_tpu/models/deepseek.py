@@ -46,6 +46,13 @@ class DeepSeekConfig:
     rms_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     page_size: int = PAGE_SIZE
+    #: engine-contract fields (DecodeEngine reads these off any model
+    #: config): latent rows keep the model dtype (the latent cache is
+    #: already 8-50× smaller than per-head KV), no sliding window, and
+    #: centroid sparsity over latent pages is not wired yet
+    kv_cache_dtype: str = "auto"
+    sliding_window: int = 0
+    num_centroids: int = 0
     # --- MoE (0 experts → dense MLP) ---
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -131,30 +138,39 @@ def init_latent_cache(cfg: DeepSeekConfig, num_pages: int, dtype=None):
 
 
 def _mla_qkv(cfg, lp, x, pos):
-    """Project + rope one decode step's queries and latent row."""
-    b = x.shape[0]
+    """Project + rope queries and the latent row.
+
+    x [..., hidden], pos [...] (decode: [B]; chunked prefill: [B, T]) →
+    (q_nope [..., H, dn], q_pe [..., H, dr], row [..., record_width]).
+    """
     nh, dn, dr = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     if cfg.q_lora_rank:
         q = rms_norm(x @ lp["w_dq"], lp["q_ln"], cfg.rms_eps) @ lp["w_uq"]
     else:
         q = x @ lp["wq"]
-    q = q.reshape(b, nh, dn + dr)
+    q = q.reshape(*x.shape[:-1], nh, dn + dr)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     q_pe = rope(q_pe, pos, cfg.rope_theta)
 
-    kv = x @ lp["w_dkv"]                                   # [B, c+dr]
-    c_kv = rms_norm(kv[:, :cfg.kv_lora_rank], lp["kv_ln"], cfg.rms_eps)
-    k_pe = rope(kv[:, None, cfg.kv_lora_rank:], pos,
-                cfg.rope_theta)[:, 0]                      # shared head
+    kv = x @ lp["w_dkv"]                                   # [..., c+dr]
+    c_kv = rms_norm(kv[..., :cfg.kv_lora_rank], lp["kv_ln"], cfg.rms_eps)
+    k_pe = rope(kv[..., None, cfg.kv_lora_rank:], pos,
+                cfg.rope_theta)[..., 0, :]                 # shared head
     row = jnp.concatenate([c_kv, k_pe], axis=-1)
     pad = cfg.record_width - row.shape[-1]
     if pad:
-        row = jnp.pad(row, ((0, 0), (0, pad)))
+        row = jnp.pad(row, [(0, 0)] * (row.ndim - 1) + [(0, pad)])
     return q_nope, q_pe, row
 
 
 def _moe(cfg, lp, x):
-    """Top-k routed MoE + shared experts (decode-batch sized)."""
+    """Top-k routed MoE + shared experts (decode-batch sized).
+
+    x [..., hidden] — chunked prefill passes [B, T, hidden]; the routed
+    path flattens tokens (routing is per-token).
+    """
+    lead = x.shape[:-1]
+    x = x.reshape(-1, x.shape[-1])
     scores = jax.nn.softmax((x.astype(jnp.float32) @ lp["router"]
                              .astype(jnp.float32)), axis=-1)     # [B, E]
     top_w, top_i = jax.lax.top_k(scores, cfg.num_experts_per_tok)
@@ -171,7 +187,7 @@ def _moe(cfg, lp, x):
     if cfg.n_shared_experts:
         y = y + (jax.nn.silu(x @ lp["s_gate"]) * (x @ lp["s_up"])
                  ) @ lp["s_down"]
-    return y
+    return y.reshape(*lead, y.shape[-1])
 
 
 def _mlp(cfg, lp, x):
@@ -215,4 +231,57 @@ def make_decode_fn(cfg: DeepSeekConfig):
     def fn(params, token_ids, latent_cache, block_table, seq_lens):
         return decode_step(cfg, params, token_ids, latent_cache,
                            block_table, seq_lens)
+    return fn
+
+
+def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
+                       block_table, start_pos, valid_lens=None):
+    """Process a chunk of T prompt tokens through every layer at once.
+
+    The MLA analog of llama.prefill_chunk_step: absorbed causal latent
+    attention (ops.mla.mla_prefill_attention) over the shared paged
+    latent cache.  Same contract: token_ids [B, T], start_pos [B],
+    valid_lens [B] (0 = inactive lane); returns (last-valid-token logits
+    [B, V], new cache).
+    """
+    b, t = token_ids.shape
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+    x = params["embed"][token_ids].astype(cfg.dtype)           # [B, T, H]
+    width = cfg.record_width
+    new_cache = []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+        q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
+        cache_li = mla_ops.write_latent_chunk(
+            latent_cache[li], row, block_table[:b], start_pos,
+            page_size=cfg.page_size, valid_lens=valid_lens)
+        new_cache.append(cache_li)
+        q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
+                                         width=width)
+        o_lat = mla_ops.mla_prefill_attention(
+            q_eff, cache_li, block_table[:b], start_pos,
+            d_v=cfg.kv_lora_rank, sm_scale=cfg.sm_scale,
+            page_size=cfg.page_size)                      # [B, T, H, c]
+        attn = jnp.einsum("bthc,hcd->bthd", o_lat,
+                          lp["w_uv"].astype(jnp.float32))
+        attn = attn.reshape(b, t, -1).astype(cfg.dtype)
+        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+        x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
+    if valid_lens is None:
+        last = x[:, -1]
+    else:
+        idx = jnp.clip(valid_lens.astype(jnp.int32) - 1, 0, t - 1)
+        last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    last = rms_norm(last, params["ln_f"], cfg.rms_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.stack(new_cache)
+
+
+def make_prefill_fn(cfg: DeepSeekConfig):
+    @jax.jit
+    def fn(params, token_ids, latent_cache, block_table, start_pos,
+           valid_lens):
+        return prefill_chunk_step(cfg, params, token_ids, latent_cache,
+                                  block_table, start_pos, valid_lens)
     return fn

@@ -90,16 +90,17 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
 def absorbed_queries(q_nope, q_rope, w_uk, *, width):
     """Fold W_UK into the queries (the MLA absorption trick).
 
-    q_nope [B, H, dn] · w_uk [H, dn, c] → latent queries, concatenated
-    with the roped sub-head and zero-padded to the record ``width``.
+    q_nope [..., H, dn] · w_uk [H, dn, c] → latent queries, concatenated
+    with the roped sub-head and zero-padded to the record ``width``
+    (leading dims pass through: decode uses [B, H, dn], chunked prefill
+    [B, T, H, dn]).
     """
-    b, h, _ = q_nope.shape
-    q_lat = jnp.einsum("bhd,hdc->bhc", q_nope.astype(jnp.float32),
+    q_lat = jnp.einsum("...hd,hdc->...hc", q_nope.astype(jnp.float32),
                        w_uk.astype(jnp.float32))
     q_eff = jnp.concatenate([q_lat, q_rope.astype(jnp.float32)], axis=-1)
     pad = width - q_eff.shape[-1]
     if pad:
-        q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
+        q_eff = jnp.pad(q_eff, [(0, 0)] * (q_eff.ndim - 1) + [(0, pad)])
     return q_eff
 
 
@@ -148,4 +149,102 @@ def write_latent_rows(latent_pages, latent_new, block_table, seq_pos,
                               slot[:, None], axis=1)[:, 0]
     out = latent_pages.at[0, pid, row].set(
         latent_new.astype(latent_pages.dtype))
+    return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "kv_block_pages", "d_v", "sm_scale"),
+)
+def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
+                          d_v, sm_scale, page_size=PAGE_SIZE,
+                          kv_block_pages=4):
+    """Causal latent attention of a prefill chunk (absorbed form).
+
+    The latent analog of ops.prefill.paged_prefill_attention: an XLA
+    ``lax.scan`` over page blocks with running flash state — prefill is
+    MXU-bound, no hand kernel needed.
+
+    Args:
+      q_eff:        [B, T, H, W] absorbed queries (:func:`absorbed_queries`
+                    applied per chunk position).
+      latent_pages: [(1,) P, ps, W] — the chunk's own rows must already be
+                    written (:func:`write_latent_chunk`).
+      block_table:  [B, max_page] int32; start_pos: [B] int32 — position
+                    of the chunk's first token.
+      d_v:          latent width (output [B, T, H, d_v] fp32 — apply
+                    ``w_uv`` outside).
+    """
+    if latent_pages.ndim == 3:
+        latent_pages = latent_pages[None]
+    b, t, h, w = q_eff.shape
+    num_pages = latent_pages.shape[1]
+    ps = page_size
+    max_page = block_table.shape[1]
+    n_blocks = (max_page + kv_block_pages - 1) // kv_block_pages
+    bk = kv_block_pages * ps
+    from ..config import MASK_VALUE
+
+    q32 = q_eff.astype(jnp.float32)
+    q_pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+
+    def body(carry, blk):
+        m, l, acc = carry
+        slots = blk * kv_block_pages + jnp.arange(kv_block_pages)
+        pids = jnp.take_along_axis(
+            block_table.astype(jnp.int32),
+            jnp.broadcast_to(jnp.clip(slots, 0, max_page - 1)[None, :],
+                             (b, kv_block_pages)), axis=1)   # [B, nb]
+        rows = latent_pages[0][jnp.clip(pids, 0, num_pages - 1)]
+        rows = rows.reshape(b, bk, w).astype(jnp.float32)    # [B, bk, W]
+        k_pos = (slots[:, None] * ps
+                 + jnp.arange(ps)[None, :]).reshape(bk)      # [bk]
+        s = sm_scale * jnp.einsum("bthw,bkw->bhtk", q32, rows,
+                                  preferred_element_type=jnp.float32)
+        valid = (k_pos[None, None, None, :] <= q_pos[:, None, :, None])
+        valid = valid & (slots < max_page)[None, None, None,
+                                           jnp.arange(bk) // ps]
+        s = jnp.where(valid, s, MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        scale = jnp.exp(m - m_new)
+        l_new = l * scale + jnp.sum(p, axis=-1)
+        acc_new = (acc * scale[..., None]
+                   + jnp.einsum("bhtk,bkc->bhtc", p, rows[..., :d_v],
+                                preferred_element_type=jnp.float32))
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, h, t), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((b, h, t), jnp.float32)
+    a0 = jnp.zeros((b, h, t, d_v), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
+                                  jnp.arange(n_blocks))
+    out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
+    return out.transpose(0, 2, 1, 3)                         # [B, T, H, dv]
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def write_latent_chunk(latent_pages, rows, block_table, start_pos,
+                       page_size=PAGE_SIZE, valid_lens=None):
+    """Scatter a chunk of latent rows into the paged cache.
+
+    rows [B, T, W] at positions start_pos + t; invalid rows (t >=
+    valid_lens[b]) scatter to an out-of-range page id and are dropped
+    (the same idiom as ops.prefill.write_prompt_chunk).
+    """
+    squeeze = latent_pages.ndim == 3
+    if squeeze:
+        latent_pages = latent_pages[None]
+    b, t, _ = rows.shape
+    num_pages = latent_pages.shape[1]
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
+    slot = jnp.clip(pos // page_size, 0, block_table.shape[1] - 1)
+    row = pos % page_size
+    pid = jnp.take_along_axis(block_table.astype(jnp.int32), slot, axis=1)
+    if valid_lens is not None:
+        valid = (jnp.arange(t, dtype=jnp.int32)[None, :]
+                 < valid_lens[:, None].astype(jnp.int32))
+        pid = jnp.where(valid, pid, num_pages)               # OOB → dropped
+    out = latent_pages.at[0, pid, row].set(
+        rows.astype(latent_pages.dtype), mode="drop")
     return out[0] if squeeze else out

@@ -112,13 +112,20 @@ class DecodeEngine:
                  prefill_chunk: Optional[int] = None,
                  log_interval: int = 0,
                  centroid_refresh_interval: int = 32,
-                 scan_layers: bool = False):
+                 scan_layers: bool = False,
+                 adapter=None):
         self.cfg = cfg
+        #: model binding: cache layout + jitted step functions
+        #: (runtime.adapters; default = Llama family).  Pass
+        #: adapters.DeepSeekAdapter(cfg) to serve MLA models.
+        if adapter is None:
+            from .adapters import LlamaAdapter
+            adapter = LlamaAdapter(cfg)
+        self.adapter = adapter
         #: scan_layers compiles the layer loop as lax.scan over stacked
         #: params — O(1)-in-depth HLO; the right choice for deep models
         #: (models.llama.decode_step_scan)
-        self.params = (llama.stack_layer_params(params) if scan_layers
-                       else params)
+        self.params = adapter.prepare_params(params, scan_layers)
         self.max_batch = max_batch
         self.max_page = max_page or (num_pages // max(max_batch, 1))
         self.allocator = self._build_allocator(num_pages)
@@ -132,11 +139,7 @@ class DecodeEngine:
         self._cents = None
         self._ticks_since_refresh = 0
         if cfg.num_centroids:
-            layers = params["layers"]
-            if isinstance(layers, list) and "l1_cent" in layers[0]:
-                self._cents = jnp.stack([lp["l1_cent"] for lp in layers])
-            elif isinstance(layers, dict) and "l1_cent" in layers:
-                self._cents = layers["l1_cent"]     # already [L, H, C, D]
+            self._cents = adapter.extract_cents(params)
         self.sample_fn = sample_fn
         self._sampler = sampling.make_sampler()
         self._key = jax.random.key(seed)
@@ -181,7 +184,7 @@ class DecodeEngine:
         return PageAllocator(num_pages, self.cfg.page_size)
 
     def _build_kv_cache(self, num_pages: int):
-        return llama.init_kv_cache(self.cfg, num_pages)
+        return self.adapter.init_cache(num_pages)
 
     def _build_block_ids(self, num_pages: int):
         if not self.cfg.num_centroids:
@@ -191,10 +194,10 @@ class DecodeEngine:
             jnp.int32)
 
     def _build_decode_fn(self, scan_layers: bool):
-        return llama.make_decode_fn(self.cfg, scan_layers=scan_layers)
+        return self.adapter.make_decode_fn(scan_layers)
 
     def _build_prefill_fn(self, scan_layers: bool):
-        return llama.make_prefill_fn(self.cfg, scan_layers=scan_layers)
+        return self.adapter.make_prefill_fn(scan_layers)
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -297,13 +300,8 @@ class DecodeEngine:
         """
         if self._cents is None:
             return
-        from ..ops.clustering import assign_pages, assign_pages_quantized
-        if isinstance(self.kv_cache, dict):
-            self.block_ids = jax.vmap(assign_pages_quantized)(
-                self.kv_cache["kv"], self.kv_cache["ts"], self._cents)
-        else:
-            self.block_ids = jax.vmap(assign_pages)(
-                self.kv_cache, self._cents)
+        self.block_ids = self.adapter.assign_block_ids(self.kv_cache,
+                                                       self._cents)
         self._ticks_since_refresh = 0
 
     def _maybe_refresh_block_ids(self, force: bool = False):

@@ -6,6 +6,8 @@ must equal the naive per-head expansion K_t = W_UK·c_t ‖ k_rope_t,
 V_t = W_UVᵀ·c_t.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -166,3 +168,84 @@ def test_deepseek_moe_routing():
     # reach a few 1e-4 relative.  A routing error (wrong expert / weight)
     # would show up at O(1), so 2e-3 still catches real bugs.
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=1e-3)
+
+
+def test_mla_prefill_chunk_matches_decode_loop(rng):
+    """Chunked MLA prefill == token-at-a-time decode_step (cache + logits)."""
+    cfg = dataclasses.replace(deepseek.TINY_DEEPSEEK, num_layers=2,
+                              page_size=16, dtype=jnp.float32)
+    params = deepseek.init_params(cfg, jax.random.key(0))
+    b, s = 2, 21
+    num_pages, mp = 16, 8
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, s)), jnp.int32)
+    # disjoint per-lane pages (aliased tables would make both paths read
+    # whichever lane wrote the shared page last — undefined either way)
+    bt = jnp.stack([i * mp + jnp.roll(jnp.arange(mp, dtype=jnp.int32), i)
+                    for i in range(b)])
+
+    # oracle: sequential decode over every position
+    cache_ref = deepseek.init_latent_cache(cfg, num_pages)
+    logits_ref = None
+    for t in range(s):
+        seq = jnp.full((b,), t + 1, jnp.int32)
+        logits_ref, cache_ref = deepseek.decode_step(
+            cfg, params, tokens[:, t], cache_ref, bt, seq)
+
+    # chunked prefill in two page-aligned chunks
+    cache = deepseek.init_latent_cache(cfg, num_pages)
+    c1 = cfg.page_size
+    logits, cache = deepseek.prefill_chunk_step(
+        cfg, params, tokens[:, :c1], cache, bt,
+        jnp.zeros((b,), jnp.int32), jnp.full((b,), c1, jnp.int32))
+    pad = jnp.zeros((b, c1 - (s - c1)), jnp.int32)
+    logits, cache = deepseek.prefill_chunk_step(
+        cfg, params, jnp.concatenate([tokens[:, c1:], pad], axis=1),
+        cache, bt, jnp.full((b,), c1, jnp.int32),
+        jnp.full((b,), s - c1, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(cache), np.asarray(cache_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_deepseek_engine_serving(rng):
+    """DeepSeek/MLA (+MoE) through DecodeEngine via DeepSeekAdapter:
+    chunked prefill + continuous batching == standalone decode loop."""
+    from cann_ops_adv_vllm_tpu.runtime.adapters import DeepSeekAdapter
+    from cann_ops_adv_vllm_tpu.runtime.engine import DecodeEngine, Request
+
+    cfg = dataclasses.replace(deepseek.TINY_DEEPSEEK_MOE, num_layers=2,
+                              page_size=16, dtype=jnp.float32)
+    params = deepseek.init_params(cfg, jax.random.key(1))
+    prompts = [rng.integers(1, cfg.vocab_size, n).astype(np.int32)
+               for n in (9, 23, 17)]
+    max_new = 5
+
+    eng = DecodeEngine(cfg, params, num_pages=48, max_batch=2, max_page=8,
+                       prefill_chunk=cfg.page_size,
+                       adapter=DeepSeekAdapter(cfg))
+    reqs = [Request(seq_id=i, prompt=pr, max_new_tokens=max_new)
+            for i, pr in enumerate(prompts)]
+    for r in reqs:
+        eng.add_request(r)
+    eng.run(max_steps=300)
+    assert all(len(r.generated) == max_new for r in reqs)
+
+    # oracle: greedy decode per request, standalone
+    for r in reqs:
+        cache = deepseek.init_latent_cache(cfg, 16)
+        bt = jnp.arange(8, dtype=jnp.int32)[None]
+        toks = list(r.prompt)
+        out = []
+        logits = None
+        for t in range(len(r.prompt) + max_new - 1):
+            seq = jnp.full((1,), t + 1, jnp.int32)
+            logits, cache = deepseek.decode_step(
+                cfg, params, jnp.asarray([toks[t]], jnp.int32), cache,
+                bt, seq)
+            if t + 1 >= len(r.prompt):
+                nxt = int(jnp.argmax(logits[0]))
+                out.append(nxt)
+                toks.append(nxt)
+        assert out == list(r.generated), (r.seq_id, out, r.generated)
