@@ -205,29 +205,31 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
     b = token_ids.shape[0]
     pos = seq_lens.astype(jnp.int32) - 1
     x = params["embed"][token_ids].astype(cfg.dtype)
-    new_cache = []
+    # full [L, 1, P, ps, W] cache written/read in place at each layer
+    # index (models.llama.decode_step rationale: no per-step pool copies)
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
-        cache_li = mla_ops.write_latent_rows(
-            latent_cache[li], row, block_table[:b], pos,
-            page_size=cfg.page_size)
-        new_cache.append(cache_li)
+        latent_cache = mla_ops.write_latent_rows(
+            latent_cache, row, block_table[:b], pos,
+            page_size=cfg.page_size, layer_idx=li)
         attn = mla_ops.mla_attention(
-            q_nope, q_pe, cache_li, block_table[:b], seq_lens,
+            q_nope, q_pe, latent_cache, block_table[:b], seq_lens,
             lp["w_uk"], lp["w_uv"], sm_scale=cfg.sm_scale,
-            page_size=cfg.page_size)
+            page_size=cfg.page_size, layer_idx=li)
         attn = attn.reshape(b, -1).astype(cfg.dtype)
         x = x + (attn @ lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, jnp.stack(new_cache)
+    return logits, latent_cache
 
 
 def make_decode_fn(cfg: DeepSeekConfig):
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def fn(params, token_ids, latent_cache, block_table, seq_lens):
         return decode_step(cfg, params, token_ids, latent_cache,
                            block_table, seq_lens)
@@ -248,20 +250,18 @@ def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
     x = params["embed"][token_ids].astype(cfg.dtype)           # [B, T, H]
     width = cfg.record_width
-    new_cache = []
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
-        cache_li = mla_ops.write_latent_chunk(
-            latent_cache[li], row, block_table[:b], start_pos,
-            page_size=cfg.page_size, valid_lens=valid_lens)
-        new_cache.append(cache_li)
+        latent_cache = mla_ops.write_latent_chunk(
+            latent_cache, row, block_table[:b], start_pos,
+            page_size=cfg.page_size, valid_lens=valid_lens, layer_idx=li)
         q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
                                          width=width)
         o_lat = mla_ops.mla_prefill_attention(
-            q_eff, cache_li, block_table[:b], start_pos,
+            q_eff, latent_cache, block_table[:b], start_pos,
             d_v=cfg.kv_lora_rank, sm_scale=cfg.sm_scale,
-            page_size=cfg.page_size)                      # [B, T, H, c]
+            page_size=cfg.page_size, layer_idx=li)        # [B, T, H, c]
         attn = jnp.einsum("bthc,hcd->bthd", o_lat,
                           lp["w_uv"].astype(jnp.float32))
         attn = attn.reshape(b, t, -1).astype(cfg.dtype)
@@ -275,11 +275,13 @@ def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
         last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, params["ln_f"], cfg.rms_eps)
     logits = (last @ params["lm_head"]).astype(jnp.float32)
-    return logits, jnp.stack(new_cache)
+    return logits, latent_cache
 
 
 def make_prefill_fn(cfg: DeepSeekConfig):
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def fn(params, token_ids, latent_cache, block_table, start_pos,
            valid_lens):
         return prefill_chunk_step(cfg, params, token_ids, latent_cache,

@@ -163,50 +163,46 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=None):
                       cfg.page_size, 2 * cfg.head_dim), dtype)
 
 
-def write_kv_page_rows(kv_cache_layer, k_new, v_new, block_table, seq_pos,
-                       page_size):
+def write_kv_page_rows(kv_cache, k_new, v_new, block_table, seq_pos,
+                       page_size, layer_idx=None):
     """Scatter one decode step's K/V rows into the fused paged cache.
 
-    kv_cache_layer: [H_kv, P, ps, 2*D] (or the int8 dict — rows are
-    quantized per-token at write time); k_new/v_new: [B, H_kv, D];
-    block_table: [B, max_page]; seq_pos: [B] (position being written).
+    kv_cache: [H_kv, P, ps, 2*D] one layer (or the int8 dict), or — with
+    ``layer_idx`` — the FULL [L, H_kv, P, ps, 2*D] cache, scattered at
+    layer ``layer_idx`` (the in-place hot path: with the cache donated to
+    the step's jit, XLA aliases the buffer and only the B·H touched rows
+    are written); k_new/v_new: [B, H_kv, D]; block_table: [B, max_page];
+    seq_pos: [B] (position being written).
     """
     b = k_new.shape[0]
     slot = seq_pos.astype(jnp.int32) // page_size
     row = seq_pos.astype(jnp.int32) % page_size
     pid = jnp.take_along_axis(block_table.astype(jnp.int32),
                               slot[:, None], axis=1)[:, 0]   # [B]
-    quantized = isinstance(kv_cache_layer, dict)
-    pages = kv_cache_layer["kv"] if quantized else kv_cache_layer
-    h_idx = jnp.arange(pages.shape[0])[None, :]              # [1, H_kv]
+    quantized = isinstance(kv_cache, dict)
+    pages = kv_cache["kv"] if quantized else kv_cache
+    h_idx = jnp.arange(pages.shape[-4])[None, :]             # [1, H_kv]
     bi = jnp.broadcast_to(h_idx, (b, h_idx.shape[1]))
     pid_b = jnp.broadcast_to(pid[:, None], bi.shape)
     row_k = jnp.broadcast_to(row[:, None], bi.shape)
+    lead = () if layer_idx is None else (layer_idx,)
     if quantized:
         from ..ops.quant import quantize_rows
         k_q, k_s = quantize_rows(k_new)                      # [B, H, D], [B, H]
         v_q, v_s = quantize_rows(v_new)
         kv_row = jnp.concatenate([k_q, v_q], axis=-1)
-        ts = kv_cache_layer["ts"]
-        ts = ts.at[bi, pid_b, 0, row_k].set(k_s)
-        ts = ts.at[bi, pid_b, 2, row_k].set(v_s)
-        return {"kv": pages.at[bi, pid_b, row_k].set(kv_row), "ts": ts}
+        ts = kv_cache["ts"]
+        ts = ts.at[(*lead, bi, pid_b, 0, row_k)].set(k_s)
+        ts = ts.at[(*lead, bi, pid_b, 2, row_k)].set(v_s)
+        return {"kv": pages.at[(*lead, bi, pid_b, row_k)].set(kv_row),
+                "ts": ts}
     kv_row = jnp.concatenate([k_new, v_new], axis=-1)        # [B, H, 2D]
-    return pages.at[bi, pid_b, row_k].set(kv_row.astype(pages.dtype))
-
-
-def _layer_cache(kv_cache, li):
-    """Layer slice of the cache pytree (array or int8 dict)."""
-    return jax.tree.map(lambda a: a[li], kv_cache)
-
-
-def _stack_cache(per_layer):
-    """Stack per-layer cache pytrees back into the [L, ...] cache."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    return pages.at[(*lead, bi, pid_b, row_k)].set(
+        kv_row.astype(pages.dtype))
 
 
 def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
-               layer_block_ids=None):
+               layer_block_ids=None, layer_idx=None):
     """Decode-step attention for one layer.  x: [B, hidden].
 
     When ``cfg.num_centroids`` and ``layer_block_ids`` are set, centroid
@@ -231,7 +227,8 @@ def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
     v = v.reshape(b, nkv, hd)
 
     kv_cache_layer = write_kv_page_rows(
-        kv_cache_layer, k, v, block_table, pos, cfg.page_size)
+        kv_cache_layer, k, v, block_table, pos, cfg.page_size,
+        layer_idx=layer_idx)
 
     positions = position_lens = None
     if cfg.num_centroids and layer_block_ids is not None:
@@ -259,7 +256,8 @@ def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
     out = paged_flash_decode(
         q, pages, None, block_table[:b], attend_lens,
         positions, position_lens, kv_start=kv_start,
-        kv_scales=kv_scales, page_size=cfg.page_size)
+        kv_scales=kv_scales, page_size=cfg.page_size,
+        layer_idx=layer_idx)
     out = out.reshape(b, nq * hd).astype(x.dtype)
     return out @ layer_params["wo"], kv_cache_layer
 
@@ -290,20 +288,26 @@ def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
     """
     reduce = reduce or (lambda t: t)
     x = params["embed"][token_ids].astype(cfg.dtype)
-    new_cache = []
+    # The full [L, ...] cache threads through the layer loop and every
+    # layer scatters/reads AT its layer index (write_kv_page_rows /
+    # paged_flash_decode layer_idx): with the cache donated to the step,
+    # XLA aliases the buffer end-to-end and per-step cache traffic is
+    # O(rows written + pages attended), NOT O(pool).  (The previous
+    # slice-per-layer + stack design re-materialized the whole pool every
+    # step — ~2 full-cache HBM passes that dwarfed the attention itself.)
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         lbi = block_ids[li] if block_ids is not None else None
-        attn, cache_li = _attention(cfg, lp, h, _layer_cache(kv_cache, li),
-                                    block_table, seq_lens, lbi)
-        new_cache.append(cache_li)
+        attn, kv_cache = _attention(cfg, lp, h, kv_cache,
+                                    block_table, seq_lens, lbi,
+                                    layer_idx=li)
         x = x + reduce(attn).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
 
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, _stack_cache(new_cache)
+    return logits, kv_cache
 
 
 def stack_layer_params(params):
@@ -335,24 +339,30 @@ def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
     reduce = reduce or (lambda t: t)
     x = params_stacked["embed"][token_ids].astype(cfg.dtype)
     use_sparse = cfg.num_centroids and block_ids is not None
-    xs = (params_stacked["layers"], kv_cache)
-    if use_sparse:
-        xs = xs + (block_ids,)
+    num_layers = len(params_stacked["layers"]["wq"])
+    idxs = jnp.arange(num_layers, dtype=jnp.int32)
+    xs = ((params_stacked["layers"], idxs, block_ids) if use_sparse
+          else (params_stacked["layers"], idxs))
 
-    def body(x, per_layer):
+    # the cache is scan CARRY, not xs/ys: each iteration scatters/reads
+    # at its layer index in the one persistent buffer (see decode_step) —
+    # scanning the cache through xs/ys would stack a full O(pool) copy of
+    # it per step
+    def body(carry, per_layer):
+        x, kv_c = carry
         if use_sparse:
-            lp, cache_li, lbi = per_layer
+            lp, li, lbi = per_layer
         else:
-            (lp, cache_li), lbi = per_layer, None
+            (lp, li), lbi = per_layer, None
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        attn, cache_li = _attention(cfg, lp, h, cache_li, block_table,
-                                    seq_lens, lbi)
+        attn, kv_c = _attention(cfg, lp, h, kv_c, block_table,
+                                seq_lens, lbi, layer_idx=li)
         x = x + reduce(attn).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
-        return x, cache_li
+        return (x, kv_c), None
 
-    x, new_cache = jax.lax.scan(body, x, xs)
+    (x, new_cache), _ = jax.lax.scan(body, (x, kv_cache), xs)
     x = rms_norm(x, params_stacked["ln_f"], cfg.rms_eps)
     logits = (x @ params_stacked["lm_head"]).astype(jnp.float32)
     return logits, new_cache
@@ -366,14 +376,16 @@ def make_decode_fn(cfg: LlamaConfig, scan_layers: bool = False):
     depth program size; the right choice for deep models.
     """
     if scan_layers:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def fn(params, token_ids, kv_cache, block_table, seq_lens,
                block_ids=None):
             return decode_step_scan(cfg, params, token_ids, kv_cache,
                                     block_table, seq_lens, block_ids)
         return fn
 
-    @jax.jit
+    # the cache is donated: the step's output cache aliases the input
+    # buffer, so the in-place layer-indexed scatters truly are in place
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def fn(params, token_ids, kv_cache, block_table, seq_lens,
            block_ids=None):
         return decode_step(cfg, params, token_ids, kv_cache, block_table,
@@ -427,7 +439,8 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
     x = params["embed"][token_ids].astype(cfg.dtype)        # [B, T, H]
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
 
-    new_cache = []
+    # full cache threads through the loop, written/read at layer_idx in
+    # place (see decode_step)
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         q = h @ lp["wq"]
@@ -438,19 +451,18 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
         q = rope(q.reshape(b, t, nq, hd), pos, cfg.rope_theta)
         k = rope(k.reshape(b, t, nkv, hd), pos, cfg.rope_theta)
         v = v.reshape(b, t, nkv, hd)
-        cache_li = write_prompt_chunk(_layer_cache(kv_cache, li), k, v,
-                                      block_table,
+        kv_cache = write_prompt_chunk(kv_cache, k, v, block_table,
                                       start_pos, page_size=cfg.page_size,
-                                      valid_lens=valid_lens)
-        new_cache.append(cache_li)
-        if isinstance(cache_li, dict):
-            pages, kv_scales = cache_li["kv"], cache_li["ts"]
+                                      valid_lens=valid_lens, layer_idx=li)
+        if isinstance(kv_cache, dict):
+            pages, kv_scales = kv_cache["kv"], kv_cache["ts"]
         else:
-            pages, kv_scales = cache_li, None
+            pages, kv_scales = kv_cache, None
         attn = paged_prefill_attention(q, pages, block_table, start_pos,
                                        kv_scales=kv_scales,
                                        page_size=cfg.page_size,
-                                       sliding_window=cfg.sliding_window)
+                                       sliding_window=cfg.sliding_window,
+                                       layer_idx=li)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
         x = x + reduce(attn @ lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
@@ -464,7 +476,7 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
             x, idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, params["ln_f"], cfg.rms_eps)
     logits = (last @ params["lm_head"]).astype(jnp.float32)
-    return logits, _stack_cache(new_cache)
+    return logits, kv_cache
 
 
 def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
@@ -483,8 +495,13 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
     x = params_stacked["embed"][token_ids].astype(cfg.dtype)
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
 
-    def body(x, per_layer):
-        lp, cache_li = per_layer
+    num_layers = len(params_stacked["layers"]["wq"])
+    idxs = jnp.arange(num_layers, dtype=jnp.int32)
+
+    # cache as scan CARRY, layer-indexed in place (see decode_step_scan)
+    def body(carry, per_layer):
+        x, kv_c = carry
+        lp, li = per_layer
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
         q = h @ lp["wq"]
         k = h @ lp["wk"]
@@ -494,25 +511,26 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
         q = rope(q.reshape(b, t, nq, hd), pos, cfg.rope_theta)
         k = rope(k.reshape(b, t, nkv, hd), pos, cfg.rope_theta)
         v = v.reshape(b, t, nkv, hd)
-        cache_li = write_prompt_chunk(cache_li, k, v, block_table,
-                                      start_pos, page_size=cfg.page_size,
-                                      valid_lens=valid_lens)
-        if isinstance(cache_li, dict):
-            pages, kv_scales = cache_li["kv"], cache_li["ts"]
+        kv_c = write_prompt_chunk(kv_c, k, v, block_table,
+                                  start_pos, page_size=cfg.page_size,
+                                  valid_lens=valid_lens, layer_idx=li)
+        if isinstance(kv_c, dict):
+            pages, kv_scales = kv_c["kv"], kv_c["ts"]
         else:
-            pages, kv_scales = cache_li, None
+            pages, kv_scales = kv_c, None
         attn = paged_prefill_attention(q, pages, block_table, start_pos,
                                        kv_scales=kv_scales,
                                        page_size=cfg.page_size,
-                                       sliding_window=cfg.sliding_window)
+                                       sliding_window=cfg.sliding_window,
+                                       layer_idx=li)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
         x = x + reduce(attn @ lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
-        return x, cache_li
+        return (x, kv_c), None
 
-    x, new_cache = jax.lax.scan(body, x, (params_stacked["layers"],
-                                          kv_cache))
+    (x, new_cache), _ = jax.lax.scan(body, (x, kv_cache),
+                                     (params_stacked["layers"], idxs))
     if valid_lens is None:
         last = x[:, -1]
     else:
@@ -530,7 +548,7 @@ def make_prefill_fn(cfg: LlamaConfig, scan_layers: bool = False):
     ``scan_layers=True``: pass :func:`stack_layer_params`-stacked params.
     """
     if scan_layers:
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def fn(params, token_ids, kv_cache, block_table, start_pos,
                valid_lens):
             return prefill_chunk_step_scan(cfg, params, token_ids,
@@ -538,7 +556,7 @@ def make_prefill_fn(cfg: LlamaConfig, scan_layers: bool = False):
                                            start_pos, valid_lens)
         return fn
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def fn(params, token_ids, kv_cache, block_table, start_pos, valid_lens):
         return prefill_chunk_step(cfg, params, token_ids, kv_cache,
                                   block_table, start_pos, valid_lens)

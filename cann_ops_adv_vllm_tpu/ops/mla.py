@@ -43,12 +43,14 @@ from .paged_attention import _precompute_meta, _slab_call
 )
 def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
                      sm_scale, page_size=PAGE_SIZE, ppcb=None,
-                     return_lse=False, interpret=None):
+                     return_lse=False, interpret=None, layer_idx=None):
     """Latent flash decode: softmax(q·recordᵀ)·record[:, :d_v].
 
     Args:
       q:            [B, H, W] — absorbed queries (latent-space).
-      latent_pages: [P, page_size, W] or [1, P, page_size, W].
+      latent_pages: [P, page_size, W] or [1, P, page_size, W], or — with
+                    ``layer_idx`` — the FULL [L, 1, P, page_size, W]
+                    cache, read in place at that layer.
       block_table:  [B, max_page] int32; seq_lens: [B] int32.
       d_v:          latent width (output is [B, H, d_v]).
       sm_scale:     softmax scale (MLA: 1/sqrt(qk_nope + qk_rope dims)).
@@ -56,7 +58,7 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
     if latent_pages.ndim == 3:
         latent_pages = latent_pages[None]
     b, h, w = q.shape
-    num_pages = latent_pages.shape[1]
+    num_pages = latent_pages.shape[-3]
     max_page = block_table.shape[1]
     gp = max(8, -(-h // 8) * 8)  # round UP to the fp32 sublane multiple
     qg = q.reshape(b, 1, h, w)
@@ -80,7 +82,7 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
         page_size=page_size,
         ppcb=ppcb if ppcb is not None else (8 if interpret else 32),
         return_lse=return_lse,
-        interpret=interpret, dims=(w, d_v, 0))
+        interpret=interpret, dims=(w, d_v, 0), layer_idx=layer_idx)
     if return_lse:
         out, lse = result
         return out[:, 0, :h, :], lse[:, 0, :h, 0]
@@ -106,7 +108,7 @@ def absorbed_queries(q_nope, q_rope, w_uk, *, width):
 
 def mla_attention(q_nope, q_rope, latent_pages, block_table, seq_lens,
                   w_uk, w_uv, *, sm_scale=None, page_size=PAGE_SIZE,
-                  ppcb=None, interpret=None):
+                  ppcb=None, interpret=None, layer_idx=None):
     """Full absorbed MLA decode attention.
 
     Args:
@@ -127,27 +129,28 @@ def mla_attention(q_nope, q_rope, latent_pages, block_table, seq_lens,
     o_lat = mla_flash_decode(
         q_eff, latent_pages, block_table, seq_lens, d_v=c,
         sm_scale=sm_scale, page_size=page_size, ppcb=ppcb,
-        interpret=interpret)
+        interpret=interpret, layer_idx=layer_idx)
     return jnp.einsum("bhc,hcd->bhd", o_lat.astype(jnp.float32),
                       w_uv.astype(jnp.float32))
 
 
 def write_latent_rows(latent_pages, latent_new, block_table, seq_pos,
-                      page_size=PAGE_SIZE):
+                      page_size=PAGE_SIZE, layer_idx=None):
     """Scatter one decode step's latent rows into the paged cache.
 
-    latent_pages [(1,) P, ps, W]; latent_new [B, W] (pre-padded rows);
-    seq_pos [B] — position being written.
+    latent_pages [(1,) P, ps, W] — or, with ``layer_idx``, the FULL
+    [L, 1, P, ps, W] cache, scattered in place at that layer;
+    latent_new [B, W] (pre-padded rows); seq_pos [B] — position written.
     """
     squeeze = latent_pages.ndim == 3
     if squeeze:
         latent_pages = latent_pages[None]
-    b = latent_new.shape[0]
     slot = seq_pos.astype(jnp.int32) // page_size
     row = seq_pos.astype(jnp.int32) % page_size
     pid = jnp.take_along_axis(block_table.astype(jnp.int32),
                               slot[:, None], axis=1)[:, 0]
-    out = latent_pages.at[0, pid, row].set(
+    lead = () if layer_idx is None else (layer_idx,)
+    out = latent_pages.at[(*lead, 0, pid, row)].set(
         latent_new.astype(latent_pages.dtype))
     return out[0] if squeeze else out
 
@@ -158,7 +161,7 @@ def write_latent_rows(latent_pages, latent_new, block_table, seq_pos,
 )
 def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
                           d_v, sm_scale, page_size=PAGE_SIZE,
-                          kv_block_pages=4):
+                          kv_block_pages=4, layer_idx=None):
     """Causal latent attention of a prefill chunk (absorbed form).
 
     The latent analog of ops.prefill.paged_prefill_attention: an XLA
@@ -178,7 +181,7 @@ def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
     if latent_pages.ndim == 3:
         latent_pages = latent_pages[None]
     b, t, h, w = q_eff.shape
-    num_pages = latent_pages.shape[1]
+    num_pages = latent_pages.shape[-3]
     ps = page_size
     max_page = block_table.shape[1]
     n_blocks = (max_page + kv_block_pages - 1) // kv_block_pages
@@ -195,7 +198,9 @@ def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
             block_table.astype(jnp.int32),
             jnp.broadcast_to(jnp.clip(slots, 0, max_page - 1)[None, :],
                              (b, kv_block_pages)), axis=1)   # [B, nb]
-        rows = latent_pages[0][jnp.clip(pids, 0, num_pages - 1)]
+        pc = jnp.clip(pids, 0, num_pages - 1)
+        rows = (latent_pages[0, pc] if layer_idx is None
+                else latent_pages[layer_idx, 0, pc])
         rows = rows.reshape(b, bk, w).astype(jnp.float32)    # [B, bk, W]
         k_pos = (slots[:, None] * ps
                  + jnp.arange(ps)[None, :]).reshape(bk)      # [bk]
@@ -225,7 +230,8 @@ def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
 
 @functools.partial(jax.jit, static_argnames=("page_size",))
 def write_latent_chunk(latent_pages, rows, block_table, start_pos,
-                       page_size=PAGE_SIZE, valid_lens=None):
+                       page_size=PAGE_SIZE, valid_lens=None,
+                       layer_idx=None):
     """Scatter a chunk of latent rows into the paged cache.
 
     rows [B, T, W] at positions start_pos + t; invalid rows (t >=
@@ -236,7 +242,7 @@ def write_latent_chunk(latent_pages, rows, block_table, start_pos,
     if squeeze:
         latent_pages = latent_pages[None]
     b, t, _ = rows.shape
-    num_pages = latent_pages.shape[1]
+    num_pages = latent_pages.shape[-3]
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
     slot = jnp.clip(pos // page_size, 0, block_table.shape[1] - 1)
     row = pos % page_size
@@ -245,6 +251,7 @@ def write_latent_chunk(latent_pages, rows, block_table, start_pos,
         valid = (jnp.arange(t, dtype=jnp.int32)[None, :]
                  < valid_lens[:, None].astype(jnp.int32))
         pid = jnp.where(valid, pid, num_pages)               # OOB → dropped
-    out = latent_pages.at[0, pid, row].set(
+    lead = () if layer_idx is None else (layer_idx,)
+    out = latent_pages.at[(*lead, 0, pid, row)].set(
         rows.astype(latent_pages.dtype), mode="drop")
     return out[0] if squeeze else out

@@ -293,6 +293,7 @@ def _finalize_head(acc, m, l, oq_scale, oq_off, out_dtype, lse_shape):
 
 def _kernel(
     # --- scalar prefetch ---
+    layer_ref,      # [1] int32 — layer index into the leading cache axis
     nblk_ref,       # [B, H_pos] int32
     pid_ref,        # [B, H_pos, M] int32
     beg_ref,        # [B, H_pos, M] int32
@@ -301,12 +302,12 @@ def _kernel(
     qpos_ref,       # [B] int32 (query logical position; alibi only) or None
     # --- inputs ---
     q_ref,          # [1, 1, Gp, D] VMEM
-    kv_pages_ref,   # [H_kv, P, ps, 2*D] ANY (HBM) — lane-interleaved K|V
+    kv_pages_ref,   # [L, H_kv, P, ps, 2*D] ANY (HBM) — lane-interleaved K|V
     k_scale_ref,    # [H_kv, D] VMEM (per-channel quant; zeros otherwise)
     k_offset_ref,
     v_scale_ref,
     v_offset_ref,
-    tok_scale_ref,  # [H_kv, P, 4, ps] ANY (per-token quant) or None
+    tok_scale_ref,  # [L, H_kv, P, 4, ps] ANY (per-token quant) or None
     bias_ref,       # [1, 1, 1, ppcb, ps] VMEM (score bias) or None
     slopes_ref,     # [H_kv, Gp, 128] VMEM f32 (alibi) or None
     oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
@@ -346,6 +347,7 @@ def _kernel(
 
     def block_dmas(bb, hh, ii, slot):
         hp = hp_of(hh)
+        li = layer_ref[0]
         copies = []
         for j in range(ppcb):
             idx = ii * ppcb + j
@@ -353,7 +355,7 @@ def _kernel(
             copies.append((
                 cond, j,
                 pltpu.make_async_copy(
-                    kv_pages_ref.at[hh, pid_ref[bb, hp, idx]],
+                    kv_pages_ref.at[li, hh, pid_ref[bb, hp, idx]],
                     kv_buf.at[slot, pl.ds(j * page_size, page_size), :],
                     sem.at[slot, j],
                 ),
@@ -362,7 +364,7 @@ def _kernel(
                 copies.append((
                     cond, None,
                     pltpu.make_async_copy(
-                        tok_scale_ref.at[hh, pid_ref[bb, hp, idx]],
+                        tok_scale_ref.at[li, hh, pid_ref[bb, hp, idx]],
                         ts_buf.at[slot, j],
                         ts_sem.at[slot, j],
                     ),
@@ -491,6 +493,7 @@ def _kernel(
 
 def _slab_kernel(
     # --- scalar prefetch ---
+    layer_ref,      # [1] int32 — layer index into the leading cache axis
     nblk_ref,       # [B, H_pos] int32
     pid_ref,        # [B, H_pos, M] int32
     beg_ref,        # [B, H_pos, M] int32
@@ -499,12 +502,12 @@ def _slab_kernel(
     qpos_ref,       # [B] int32 (query logical position; alibi only) or None
     # --- inputs ---
     q_ref,          # [1, H_kv, Gp, D] VMEM
-    kv_pages_ref,   # [H_kv, P, ps, 2*D] ANY (HBM)
+    kv_pages_ref,   # [L, H_kv, P, ps, 2*D] ANY (HBM)
     k_scale_ref,    # [H_kv, D] VMEM (per-channel quant; zeros otherwise)
     k_offset_ref,
     v_scale_ref,
     v_offset_ref,
-    tok_scale_ref,  # [H_kv, P, n_rows, ps] ANY (per-token quant) or None
+    tok_scale_ref,  # [L, H_kv, P, n_rows, ps] ANY (per-token quant) or None
     bias_ref,       # [1, H_b, 1, ppcb, ps] VMEM (score bias) or None
     slopes_ref,     # [H_kv, Gp, 128] VMEM f32 (alibi) or None
     oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
@@ -536,6 +539,7 @@ def _slab_kernel(
     d_v: int,
     v_off: int,
     packed_int4: bool = False,
+    shared_pages: bool = False,
 ):
     """All-heads-per-step flash decode (the fast path).
 
@@ -575,17 +579,28 @@ def _slab_kernel(
     i = pl.program_id(1)
     bk = ppcb * page_size
     shared = h_pos == 1
+    # union mode (shared_pages): every head's pid row is the SAME unioned
+    # page list, so the DMA side runs the one-slab-descriptor-per-page
+    # fast path while the compute side keeps per-head (beg, end) windows —
+    # a page a head did not select has an empty window there.  DMA
+    # condition = any head's window non-empty (= page in the union).
+    slab_dma = shared or shared_pages
 
     def block_dmas(bb, ii, slot):
+        li = layer_ref[0]
         copies = []
         for j in range(ppcb):
             idx = ii * ppcb + j
-            if shared:
+            if slab_dma:
                 cond = end_ref[bb, 0, idx] > beg_ref[bb, 0, idx]
+                if not shared:
+                    for h in range(1, h_kv):
+                        cond = cond | (end_ref[bb, h, idx]
+                                       > beg_ref[bb, h, idx])
                 copies.append((
                     cond, (slice(None), j),
                     pltpu.make_async_copy(
-                        kv_pages_ref.at[:, pid_ref[bb, 0, idx]],
+                        kv_pages_ref.at[li, :, pid_ref[bb, 0, idx]],
                         kv_buf.at[slot, :,
                                   pl.ds(j * page_size, page_size), :],
                         sem.at[slot, 0, j],
@@ -597,7 +612,7 @@ def _slab_kernel(
                     copies.append((
                         cond, None,
                         pltpu.make_async_copy(
-                            tok_scale_ref.at[:, pid_ref[bb, 0, idx]],
+                            tok_scale_ref.at[li, :, pid_ref[bb, 0, idx]],
                             ts_buf.at[slot, :, j],
                             ts_sem.at[slot, 0, j],
                         ),
@@ -608,7 +623,7 @@ def _slab_kernel(
                     copies.append((
                         cond, (h, j),
                         pltpu.make_async_copy(
-                            kv_pages_ref.at[h, pid_ref[bb, h, idx]],
+                            kv_pages_ref.at[li, h, pid_ref[bb, h, idx]],
                             kv_buf.at[slot, h,
                                       pl.ds(j * page_size, page_size), :],
                             sem.at[slot, h, j],
@@ -618,7 +633,7 @@ def _slab_kernel(
                         copies.append((
                             cond, None,
                             pltpu.make_async_copy(
-                                tok_scale_ref.at[h, pid_ref[bb, h, idx]],
+                                tok_scale_ref.at[li, h, pid_ref[bb, h, idx]],
                                 ts_buf.at[slot, h, j],
                                 ts_sem.at[slot, h, j],
                             ),
@@ -638,13 +653,13 @@ def _slab_kernel(
             # NaN/inf garbage from an earlier block in the buffer; zero it
             # (rare: tail slots).  Fully-inactive heads skip compute, so
             # their garbage is never read.
-            hp = 0 if shared else h
+            hp = 0 if slab_dma else h
             zero_cond = (jnp.logical_not(cond)
                          & (ii * ppcb < nblk_ref[bb, hp]))
 
             @pl.when(zero_cond)
             def _():
-                if shared:
+                if slab_dma:
                     kv_buf[slot, :, pl.ds(j * page_size, page_size), :] = (
                         jnp.zeros((h_kv, page_size, kv_buf.shape[3]),
                                   kv_buf.dtype))
@@ -786,7 +801,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
                out_quant, sm_scale, page_size, ppcb, return_lse, interpret,
                dims=None, packed_int4=False, tok_scales=None, bias=None,
                slopes=None, slot_pad=None, qpos=None,
-               k_token=False, v_token=False):
+               k_token=False, v_token=False, layer_idx=None,
+               shared_pages=False):
     """Build + run the all-heads-per-step pallas_call (H_pos ∈ {1, H_kv}).
 
     ``dims=(k_width, d_v, v_off)`` sets the record geometry (default: the
@@ -796,7 +812,19 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
     fallback for A/B comparison.
     """
     b, h_kv, gp, k_width = qg.shape
-    width = kv_pages.shape[3]
+    # The kernel always sees a leading layer axis on the HBM cache operand
+    # and a layer scalar — callers without one get a free [1, ...] reshape.
+    # Passing the FULL [L, ...] cache + layer_idx lets the model layer
+    # loop read pages straight from one persistent (donated) cache buffer:
+    # no per-layer slice materialization, no per-step cache copies.
+    if kv_pages.ndim == 4:
+        kv_pages = kv_pages[None]
+        if tok_scales is not None:
+            tok_scales = tok_scales[None]
+    layer_arr = jnp.reshape(
+        jnp.asarray(layer_idx if layer_idx is not None else 0, jnp.int32),
+        (1,))
+    width = kv_pages.shape[-1]
     if dims is None:
         dims = (k_width, k_width, k_width)
     k_width, d_v, v_off = dims
@@ -804,7 +832,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
     max_blocks = pids.shape[2]
     token_quant = k_token or v_token
     ppcb = _slab_vmem_budget_ppcb(ppcb, h_kv, page_size, width,
-                                  kv_pages.dtype, h_pos == 1,
+                                  kv_pages.dtype,
+                                  h_pos == 1 or shared_pages,
                                   sem_arrays=2 if token_quant else 1)
     m_pad = _cdiv(max_blocks, ppcb) * ppcb
     if m_pad != max_blocks:
@@ -850,7 +879,7 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         return pl.BlockSpec((1, h_kv, gp, width),
                             lambda bb, ii, *refs: (bb, 0, 0, 0))
 
-    scalar_ops = [nblk, pids, begs, ends]
+    scalar_ops = [layer_arr, nblk, pids, begs, ends]
     if use_alibi:
         scalar_ops += [slot_pad, qpos]
     n_scalar = len(scalar_ops)
@@ -892,7 +921,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         ppcb=ppcb, page_size=page_size, sm_scale=sm_scale,
         batch=b, h_kv=h_kv, h_pos=h_pos, h_b=h_b, quantized=quantized,
         k_token=k_token, v_token=v_token,
-        k_width=k_width, d_v=d_v, v_off=v_off, packed_int4=packed_int4)
+        k_width=k_width, d_v=d_v, v_off=v_off, packed_int4=packed_int4,
+        shared_pages=shared_pages)
 
     def wrapped(*args):
         args = list(args)
@@ -902,7 +932,7 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
             del args[:n]
             return vals
 
-        nblk_r, pid_r, beg_r, end_r = take(4)
+        layer_r, nblk_r, pid_r, beg_r, end_r = take(5)
         slotid_r, qpos_r = take(2) if use_alibi else (None, None)
         q_r, kv_r, ks_r, ko_r, vs_r, vo_r = take(6)
         (ts_r,) = take(1) if token_quant else (None,)
@@ -914,18 +944,18 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         kvb_r, sem_r = take(2)
         tsb_r, tss_r = take(2) if token_quant else (None, None)
         m_r, l_r, acc_r, sl_r = take(4)
-        kernel(nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
+        kernel(layer_r, nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
                q_r, kv_r, ks_r, ko_r, vs_r, vo_r, ts_r, bias_r, slopes_r,
                oqs_r, oqo_r, o_r, lse_r,
                kvb_r, sem_r, tsb_r, tss_r, m_r, l_r, acc_r, sl_r)
 
-    sem_rows = 1 if h_pos == 1 else h_kv
+    sem_rows = 1 if (h_pos == 1 or shared_pages) else h_kv
     scratch_shapes = [
         pltpu.VMEM((2, h_kv, ppcb * page_size, width), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
     ]
     if token_quant:
-        n_rows = tok_scales.shape[2]
+        n_rows = tok_scales.shape[-2]
         scratch_shapes += [
             pltpu.VMEM((2, h_kv, ppcb, n_rows, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
@@ -958,7 +988,7 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "page_size", "ppcb", "return_lse",
-                     "interpret", "kv_int4", "slab"),
+                     "interpret", "kv_int4", "slab", "union_pages"),
 )
 def paged_flash_decode(
     q,
@@ -981,6 +1011,8 @@ def paged_flash_decode(
     interpret=None,
     kv_int4=False,
     slab=True,
+    layer_idx=None,
+    union_pages=False,
 ):
     """Flash-decode paged attention over (optionally) selected pages.
 
@@ -1020,6 +1052,15 @@ def paged_flash_decode(
       out_quant:     (scale2, offset2) each [H_q, D] (or scalar) → output
                      is int8: round(out·scale2 + offset2).
 
+    Layered cache (the model hot path): pass the FULL per-layer cache
+    ``k_pages`` [L, H_kv, P, ps, 2*D] with ``layer_idx`` (traced int32
+    scalar) and, for the int8 cache, pre-stacked ``kv_scales``
+    [L, H_kv, P, 4, ps].  The kernel DMAs pages of layer ``layer_idx``
+    straight out of the persistent cache buffer — no per-layer slice is
+    ever materialized, so a donated cache is updated fully in place
+    across a model step (the O(pool)-copy-per-step failure mode of the
+    stacked functional update is gone).
+
     Returns [B, H_q, D] in q's dtype (int8 with ``out_quant``), and
     optionally LSE [B, H_q] fp32.
     """
@@ -1032,11 +1073,16 @@ def paged_flash_decode(
         kv_pages = fuse_kv(k_pages, v_pages)
     else:
         kv_pages = k_pages
+    layered = kv_pages.ndim == 5
+    if layered and layer_idx is None:
+        raise ValueError("paged_flash_decode: a [L, ...] layered cache "
+                         "needs layer_idx")
     validation.check_attention_inputs(
-        "paged_flash_decode", q, kv_pages, block_table, seq_lens,
+        "paged_flash_decode", q, kv_pages[0] if layered else kv_pages,
+        block_table, seq_lens,
         page_size=page_size, quantized=kv_scales is not None,
         kv_int4=kv_int4)
-    h_kv, num_pages_total, _, _ = kv_pages.shape
+    h_kv, num_pages_total = kv_pages.shape[-4], kv_pages.shape[-3]
     g = h_q // h_kv
     gp = max(g, 8)
     if sm_scale is None:
@@ -1061,6 +1107,48 @@ def paged_flash_decode(
         block_table, seq_lens, positions.astype(jnp.int32),
         position_lens.astype(jnp.int32), page_size, num_pages_total,
         kv_start=kv_start)
+
+    # Union mode (``union_pages``) for per-KV-head selections: merge the
+    # heads' page lists into ONE shared ascending list and keep per-head
+    # validity via the (beg, end) windows — a page a head did not select
+    # gets an empty window there.  The DMA side then runs the
+    # one-strided-slab-descriptor-per-page fast path (the kernel's
+    # ``shared_pages`` mode) instead of one descriptor per (head, page):
+    # the reference's standalone chain (cent_select k=64,
+    # cent_select_tiling.cpp:58) is descriptor-bound without this.
+    # Exact: every (head, token) pair attended is unchanged.
+    shared_pages = False
+    if (union_pages and slab and h_pos == h_kv and h_kv > 1
+            and bias_pages is None and alibi_slopes is None):
+        shared_pages = True
+        bi = jnp.arange(b)[:, None, None]
+        hi = jnp.arange(h_kv)[None, :, None]
+        slot_ok = (jnp.arange(max_blocks, dtype=jnp.int32)[None, None, :]
+                   < position_lens[:, :, None].astype(jnp.int32))
+        slots = jnp.clip(positions.astype(jnp.int32), 0, max_page - 1)
+        drop = jnp.where(slot_ok, slots, max_page)          # OOB → dropped
+        head_mask = jnp.zeros((b, h_kv, max_page), jnp.bool_)
+        head_mask = head_mask.at[
+            jnp.broadcast_to(bi, drop.shape),
+            jnp.broadcast_to(hi, drop.shape), drop].set(True, mode="drop")
+        union_mask = jnp.any(head_mask, axis=1)             # [B, max_page]
+        from .cent_select import _compact_positions
+        u_pos = _compact_positions(union_mask, max_page)    # [B, max_page]
+        u_len = jnp.sum(union_mask, axis=1).astype(jnp.int32)
+        pids_u, begs_u, ends_u, nblk_u = _precompute_meta(
+            block_table, seq_lens, u_pos[:, None, :], u_len[:, None],
+            page_size, num_pages_total, kv_start=kv_start)
+        member = jnp.take_along_axis(
+            head_mask,
+            jnp.broadcast_to(jnp.clip(u_pos, 0, max_page - 1)[:, None, :],
+                             (b, h_kv, max_page)), axis=2)
+        pids = jnp.broadcast_to(pids_u, (b, h_kv, max_page))
+        begs = jnp.broadcast_to(begs_u, (b, h_kv, max_page))
+        ends = jnp.where(member,
+                         jnp.broadcast_to(ends_u, (b, h_kv, max_page)),
+                         begs)
+        nblk = jnp.broadcast_to(nblk_u, (b, h_kv))
+        max_blocks = max_page
 
     # ppcb (pages per compute block): the slab path wants large blocks —
     # its per-step cost is near-fixed, and the VMEM budget clamp already
@@ -1095,10 +1183,11 @@ def paged_flash_decode(
     # restacking of an O(pool) array.
     quantized = kv_scales is not None
     if quantized and not isinstance(kv_scales, (tuple, list)):
-        if kv_scales.ndim != 4 or kv_scales.shape[2] != 4:
+        if kv_scales.ndim != 4 + layered or kv_scales.shape[-2] != 4:
             raise ValueError(
                 "pre-stacked per-token kv_scales must be "
-                f"[H_kv, P, 4, ps]; got {kv_scales.shape}")
+                f"[{'L, ' if layered else ''}H_kv, P, 4, ps]; got "
+                f"{kv_scales.shape}")
         tok_scales = kv_scales.astype(jnp.float32)
         k_token = v_token = True
         token_quant = True
@@ -1203,7 +1292,8 @@ def paged_flash_decode(
             dims=(d, d, d) if kv_int4 else None, packed_int4=kv_int4,
             tok_scales=tok_scales, bias=bias_flat, slopes=slopes,
             slot_pad=slot_pad, qpos=qpos,
-            k_token=k_token, v_token=v_token)
+            k_token=k_token, v_token=v_token, layer_idx=layer_idx,
+            shared_pages=shared_pages)
         if return_lse:
             out, lse = result
             out = out[:, :, :g, :].reshape(b, h_q, d)
@@ -1242,7 +1332,14 @@ def paged_flash_decode(
     )
 
     # --- assemble the (feature-dependent) operand lists ---
-    scalar_ops = [nblk, pids, begs, ends]
+    if kv_pages.ndim == 4:
+        kv_pages = kv_pages[None]
+        if tok_scales is not None:
+            tok_scales = tok_scales[None]
+    layer_arr = jnp.reshape(
+        jnp.asarray(layer_idx if layer_idx is not None else 0, jnp.int32),
+        (1,))
+    scalar_ops = [layer_arr, nblk, pids, begs, ends]
     if use_alibi:
         scalar_ops += [slot_pad, qpos]
     n_scalar = len(scalar_ops)
@@ -1283,13 +1380,13 @@ def paged_flash_decode(
         out_specs.append(head_spec(128))
 
     scratch_shapes = [
-        pltpu.VMEM((2, ppcb * page_size, kv_pages.shape[3]),
+        pltpu.VMEM((2, ppcb * page_size, kv_pages.shape[-1]),
                    kv_pages.dtype),
         pltpu.SemaphoreType.DMA((2, ppcb)),
     ]
     if token_quant:
         scratch_shapes += [
-            pltpu.VMEM((2, ppcb, tok_scales.shape[2], page_size),
+            pltpu.VMEM((2, ppcb, tok_scales.shape[-2], page_size),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, ppcb)),
         ]
@@ -1316,7 +1413,7 @@ def paged_flash_decode(
             del args[:n]
             return vals
 
-        nblk_r, pid_r, beg_r, end_r = take(4)
+        layer_r, nblk_r, pid_r, beg_r, end_r = take(5)
         slotid_r, qpos_r = take(2) if use_alibi else (None, None)
         q_r, kv_r, ks_r, ko_r, vs_r, vo_r = take(6)
         (ts_r,) = take(1) if token_quant else (None,)
@@ -1328,7 +1425,7 @@ def paged_flash_decode(
         kvb_r, sem_r = take(2)
         tsb_r, tss_r = take(2) if token_quant else (None, None)
         m_r, l_r, acc_r, sl_r = take(4)
-        kernel(nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
+        kernel(layer_r, nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
                q_r, kv_r, ks_r, ko_r, vs_r, vo_r, ts_r, bias_r, slopes_r,
                oqs_r, oqo_r, o_r, lse_r,
                kvb_r, sem_r, tsb_r, tss_r, m_r, l_r, acc_r, sl_r)

@@ -23,12 +23,15 @@ from ..config import MASK_VALUE, PAGE_SIZE
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",))
-def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
-                       page_size=PAGE_SIZE, valid_lens=None):
+def write_prompt_chunk(kv_cache, k_new, v_new, block_table, start_pos,
+                       page_size=PAGE_SIZE, valid_lens=None,
+                       layer_idx=None):
     """Scatter a chunk of K/V rows into the fused paged cache.
 
-    kv_cache_layer: [H_kv, P, ps, 2D] (or the int8 cache dict — rows are
-    quantized per-token at write time, models.llama.init_kv_cache);
+    kv_cache: [H_kv, P, ps, 2D] one layer (or the int8 cache dict — rows
+    are quantized per-token at write time, models.llama.init_kv_cache),
+    or — with ``layer_idx`` — the FULL [L, H_kv, P, ps, 2D] cache,
+    scattered in place at that layer (see models.llama.decode_step);
     k_new/v_new: [B, T, H_kv, D];
     start_pos: [B] — position of the chunk's first token.
     valid_lens: optional [B] int32 — only the first ``valid_lens[b]`` rows
@@ -37,9 +40,9 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
     page id and are dropped).
     """
     b, t, h_kv, d = k_new.shape
-    quantized = isinstance(kv_cache_layer, dict)
-    pages = kv_cache_layer["kv"] if quantized else kv_cache_layer
-    num_pages = pages.shape[1]
+    quantized = isinstance(kv_cache, dict)
+    pages = kv_cache["kv"] if quantized else kv_cache
+    num_pages = pages.shape[-3]
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
     slot = pos // page_size                                   # [B, T]
     row = pos % page_size
@@ -54,18 +57,20 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
     hb = jnp.broadcast_to(h_idx, (b, t, h_kv))
     pb = jnp.broadcast_to(pid[:, :, None], (b, t, h_kv))
     rb = jnp.broadcast_to(row[:, :, None], (b, t, h_kv))
+    lead = () if layer_idx is None else (layer_idx,)
     if quantized:
         from .quant import quantize_rows
         k_q, k_s = quantize_rows(k_new)               # [B,T,H,D], [B,T,H]
         v_q, v_s = quantize_rows(v_new)
         kv_row = jnp.concatenate([k_q, v_q], axis=-1)
-        ts = kv_cache_layer["ts"]
-        ts = ts.at[hb, pb, 0, rb].set(k_s, mode="drop")
-        ts = ts.at[hb, pb, 2, rb].set(v_s, mode="drop")
-        return {"kv": pages.at[hb, pb, rb].set(kv_row, mode="drop"),
+        ts = kv_cache["ts"]
+        ts = ts.at[(*lead, hb, pb, 0, rb)].set(k_s, mode="drop")
+        ts = ts.at[(*lead, hb, pb, 2, rb)].set(v_s, mode="drop")
+        return {"kv": pages.at[(*lead, hb, pb, rb)].set(kv_row,
+                                                        mode="drop"),
                 "ts": ts}
     kv_row = jnp.concatenate([k_new, v_new], axis=-1)         # [B, T, H, 2D]
-    return pages.at[hb, pb, rb].set(
+    return pages.at[(*lead, hb, pb, rb)].set(
         kv_row.astype(pages.dtype), mode="drop")
 
 
@@ -74,7 +79,7 @@ def write_prompt_chunk(kv_cache_layer, k_new, v_new, block_table, start_pos,
 def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
                             kv_scales=None, sm_scale=None,
                             page_size=PAGE_SIZE, kv_block_pages=4,
-                            sliding_window=0):
+                            sliding_window=0, layer_idx=None):
     """Causal attention of a query chunk against the paged cache.
 
     Args:
@@ -87,7 +92,8 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
     Returns [B, T, H_q, D] in q's dtype.
     """
     b, t, h_q, d = q.shape
-    h_kv, num_pages, ps, _ = kv_pages.shape
+    h_kv, num_pages, ps = (kv_pages.shape[-4], kv_pages.shape[-3],
+                           kv_pages.shape[-2])
     g = h_q // h_kv
     if sm_scale is None:
         sm_scale = float(1.0 / (d ** 0.5))
@@ -123,13 +129,24 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
             pids, jnp.clip(slots, 0, max_page - 1)[None, :].repeat(b, 0),
             axis=1)                                        # [B, kbp]
         pids = jnp.clip(pids, 0, num_pages - 1)
-        kv_blk = kv_pages[:, pids]                          # [Hkv,B,kbp,ps,2D]
+        if layer_idx is None:
+            kv_blk = kv_pages[:, pids]              # [Hkv,B,kbp,ps,2D]
+        else:
+            # one fused gather (layer scalar + head + page indices) reads
+            # only the addressed pages of the FULL cache — a slice-then-
+            # gather would materialize the whole layer first
+            h_ix = jnp.arange(h_kv)[:, None, None]
+            kv_blk = kv_pages[layer_idx, h_ix, pids[None]]
         kv_blk = kv_blk.transpose(1, 0, 2, 3, 4).astype(
             jnp.float32 if kv_scales is not None else mm_dt)
         k = kv_blk[..., :d].reshape(b, h_kv, bk, d)
         v = kv_blk[..., d:].reshape(b, h_kv, bk, d)
         if per_token:
-            ts = ts_pages[:, pids]                  # [Hkv, B, kbp, 4, ps]
+            if layer_idx is None:
+                ts = ts_pages[:, pids]              # [Hkv, B, kbp, 4, ps]
+            else:
+                h_ix = jnp.arange(h_kv)[:, None, None]
+                ts = ts_pages[layer_idx, h_ix, pids[None]]
             ts = ts.transpose(1, 0, 2, 3, 4).reshape(b, h_kv, kv_block_pages,
                                                      4, ps)
             ks = ts[:, :, :, 0].reshape(b, h_kv, bk)

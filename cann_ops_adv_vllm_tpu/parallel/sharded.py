@@ -86,7 +86,9 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
         return step(params, tokens, kv_cache, block_table, seq_lens,
                     block_ids)
 
-    return jax.jit(wrapped)
+    # cache donated → the layer-indexed scatters inside decode_step stay
+    # in place across the shard_map boundary too
+    return jax.jit(wrapped, donate_argnums=(2,))
 
 
 def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
@@ -118,7 +120,7 @@ def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
                   start_pos, valid_lens,
                   reduce=lambda t: _psum_if(t, "tp"))
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(2,))
 
 
 # --- sequence-parallel sparse attention -------------------------------------

@@ -105,16 +105,18 @@ def device_step_slope(cfg, params, eng, args):
             logits, kv_c = llama.decode_step_scan(
                 cfg, stacked, t, kv_c, bt, seq, bids)
             return (jnp.argmax(logits, -1).astype(jnp.int32), kv_c)
-        return jax.lax.fori_loop(0, n, body, (tok, kv))
+        # return + FETCH the token only: np.asarray is the dependable
+        # sync point through the tunnel (block_until_ready is not)
+        return jax.lax.fori_loop(0, n, body, (tok, kv))[0]
 
     n1, n2 = 8, 40
     ops = (stacked, bt, seq, bids)
     for n in (n1, n2):
-        jax.block_until_ready(chain(tok, kv, *ops, n))
+        np.asarray(chain(tok, kv, *ops, n))
     best = {}
     for n in (n1, n2, n1, n2):
         t0 = time.time()
-        jax.block_until_ready(chain(tok, kv, *ops, n))
+        np.asarray(chain(tok, kv, *ops, n))
         best[n] = min(best.get(n, float("inf")), time.time() - t0)
     return (best[n2] - best[n1]) / (n2 - n1)
 

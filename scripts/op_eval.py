@@ -134,6 +134,56 @@ def run_config(b, ctx, ps, *, int8, iters, warmup, mode, topk, cap_ratio,
     }
 
 
+def run_standalone(b, ctx, ps, *, int8, iters, topk, cap_ratio, rng,
+                   union):
+    """Standalone chain (reference cent_select k=64 config,
+    cent_select_tiling.cpp:58): per-KV-head selection feeding the sparse
+    kernel — per-head page lists.  ``union`` enables the unioned-slab-DMA
+    path (paged_flash_decode union_pages)."""
+    from cann_ops_adv_vllm_tpu.ops.cent_select import cent_select
+
+    max_page = ctx // ps
+    num_pages = max_page * b + 16
+    dt = jnp.bfloat16
+    q = jnp.asarray(rng.standard_normal((b, HQ, D)), dt)
+    k = jnp.asarray(rng.standard_normal((HKV, num_pages, ps, D)), dt)
+    v = jnp.asarray(rng.standard_normal((HKV, num_pages, ps, D)), dt)
+    kv_scales = None
+    if int8:
+        kq, ks, ko = quantize_kv(k)
+        vq, vs, vo = quantize_kv(v)
+        kv = jax.jit(fuse_kv)(kq, vq)
+        kv_scales = (ks, ko, vs, vo)
+    else:
+        kv = jax.jit(fuse_kv)(k, v)
+    kv.block_until_ready()
+    bt = jnp.asarray(
+        np.stack([rng.permutation(num_pages)[:max_page] for _ in range(b)]),
+        jnp.int32)
+    seq = jnp.full((b,), ctx, jnp.int32)
+    cent = jnp.asarray(rng.standard_normal((HKV, C, D)), dt)
+    bids = jnp.asarray(rng.integers(0, C, (HKV, num_pages)), jnp.int32)
+
+    def step(qq, kv, bt, cent, bids, seq, *scales):
+        pos, plen, _ = cent_select(
+            qq, cent, bids, bt, seq, k=topk, block_size=ps,
+            max_page_num=max_page, workload_cap_ratio=cap_ratio,
+            group_mode="kv_group")
+        o = paged_flash_decode(qq, kv, None, bt, seq, pos, plen[..., 0],
+                               kv_scales=scales or None, page_size=ps,
+                               union_pages=union)
+        return qq + o.astype(dt) * dt(1e-6)
+
+    scale_args = tuple(kv_scales) if kv_scales else ()
+    t = chain_time(step, q, (kv, bt, cent, bids, seq) + scale_args, iters)
+    return {
+        "B": b, "kv": ctx, "page": ps, "mode": "standalone",
+        "dtype": "int8" if int8 else "bf16", "topk": topk,
+        "union": union, "step_ms": round(t * 1e3, 3),
+        "tokens_per_s": round(b / t, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["perf", "accuracy"], default="perf")
@@ -148,7 +198,23 @@ def main():
     ap.add_argument("--topk", type=int, default=512)
     ap.add_argument("--cap-ratio", type=int, default=8,
                     help="1/N sparsity workload cap (reference: 8)")
+    ap.add_argument("--standalone", action="store_true",
+                    help="standalone per-KV-head chain (k=64), per-head "
+                         "vs union DMA")
     args = ap.parse_args()
+
+    if args.standalone:
+        rng = np.random.default_rng(0)
+        for ctx in [int(x) for x in args.kvs.split(",")]:
+            for b in [int(x) for x in args.batches.split(",")]:
+                for union in (False, True):
+                    res = run_standalone(
+                        b, ctx, int(args.pages.split(",")[0]),
+                        int8=args.int8, iters=args.iters,
+                        topk=min(args.topk, 64), cap_ratio=args.cap_ratio,
+                        rng=rng, union=union)
+                    print(json.dumps(res), flush=True)
+        return
 
     if args.sweep:
         batches = [1, 2, 4, 6, 8]

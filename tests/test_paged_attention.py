@@ -8,6 +8,7 @@ Covers the reference's test strategy (SURVEY.md §4):
   * ragged batches, partial tail pages, LSE output
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -352,3 +353,112 @@ class TestInt4KV:
         want = oracles.paged_attention_oracle(q, k_dq, v_dq, bt, seq,
                                               block_size=PS)
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_layered_cache_matches_per_layer(rng):
+    """Full [L, ...] cache + layer_idx == slicing the layer out (dense,
+    sparse per-head, and int8 per-token prestacked scales)."""
+    L, h_kv, g, d, ps = 3, 2, 2, 128, 16
+    h_q = h_kv * g
+    num_pages, mp = 12, 6
+    b = 2
+    q = jnp.asarray(rng.standard_normal((b, h_q, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((L, h_kv, num_pages, ps, 2 * d)),
+                     jnp.float32)
+    bt = jnp.asarray(
+        np.stack([rng.permutation(num_pages)[:mp] for _ in range(b)]),
+        jnp.int32)
+    seq = jnp.asarray([3 * ps + 5, 5 * ps], jnp.int32)
+
+    for li in range(L):
+        got = paged_flash_decode(q, kv, None, bt, seq, page_size=ps,
+                                 layer_idx=jnp.int32(li))
+        want = paged_flash_decode(q, kv[li], None, bt, seq, page_size=ps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    # sparse per-head positions through the layered path
+    positions = jnp.asarray(
+        np.sort(rng.permutation(mp)[:4])[None, None, :].repeat(
+            h_kv, 1).repeat(b, 0), jnp.int32)
+    positions = jnp.where(positions >= 0, positions, INT32_SENTINEL)
+    plens = jnp.full((b, h_kv), 3, jnp.int32)
+    got = paged_flash_decode(q, kv, None, bt, seq, positions, plens,
+                             page_size=ps, layer_idx=jnp.int32(1))
+    want = paged_flash_decode(q, kv[1], None, bt, seq, positions, plens,
+                              page_size=ps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # int8 per-token prestacked scales with a leading layer axis
+    kv8 = jnp.asarray(rng.integers(-100, 100,
+                                   (L, h_kv, num_pages, ps, 2 * d)),
+                      jnp.int8)
+    ts = jnp.zeros((L, h_kv, num_pages, 4, ps), jnp.float32)
+    ts = ts.at[:, :, :, 0].set(0.01 + 0.005 * jnp.asarray(
+        rng.random((L, h_kv, num_pages, ps)), jnp.float32))
+    ts = ts.at[:, :, :, 2].set(0.01 + 0.005 * jnp.asarray(
+        rng.random((L, h_kv, num_pages, ps)), jnp.float32))
+    got = paged_flash_decode(q, kv8, None, bt, seq, kv_scales=ts,
+                             page_size=ps, layer_idx=jnp.int32(2))
+    want = paged_flash_decode(q, kv8[2], None, bt, seq, kv_scales=ts[2],
+                              page_size=ps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_union_pages_matches_per_head(rng):
+    """union_pages (shared unioned page list + per-head windows, slab DMA)
+    == the per-head path, including int8 per-token scales and the
+    layered cache."""
+    h_kv, g, d, ps = 4, 2, 128, 16
+    h_q = h_kv * g
+    num_pages, mp = 24, 12
+    b = 2
+    q = jnp.asarray(rng.standard_normal((b, h_q, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((h_kv, num_pages, ps, 2 * d)),
+                     jnp.float32)
+    bt = jnp.asarray(
+        np.stack([rng.permutation(num_pages)[:mp] for _ in range(b)]),
+        jnp.int32)
+    seq = jnp.asarray([9 * ps + 5, 11 * ps], jnp.int32)
+
+    # distinct per-head ascending selections with overlaps
+    m = 6
+    positions = np.full((b, h_kv, m), INT32_SENTINEL, np.int32)
+    plens = np.zeros((b, h_kv), np.int32)
+    for bi in range(b):
+        for h in range(h_kv):
+            k = int(rng.integers(1, m + 1))
+            positions[bi, h, :k] = np.sort(rng.permutation(mp - 1)[:k])
+            plens[bi, h] = k
+    positions = jnp.asarray(positions)
+    plens = jnp.asarray(plens)
+
+    want = paged_flash_decode(q, kv, None, bt, seq, positions, plens,
+                              page_size=ps)
+    got = paged_flash_decode(q, kv, None, bt, seq, positions, plens,
+                             page_size=ps, union_pages=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # int8 per-token + layered cache through the union path
+    L = 2
+    kv8 = jnp.asarray(rng.integers(-100, 100,
+                                   (L, h_kv, num_pages, ps, 2 * d)),
+                      jnp.int8)
+    ts = jnp.zeros((L, h_kv, num_pages, 4, ps), jnp.float32)
+    ts = ts.at[:, :, :, 0].set(0.01)
+    ts = ts.at[:, :, :, 2].set(0.02)
+    want = paged_flash_decode(q, kv8, None, bt, seq, positions, plens,
+                              kv_scales=ts, page_size=ps,
+                              layer_idx=jnp.int32(1))
+    got = paged_flash_decode(q, kv8, None, bt, seq, positions, plens,
+                             kv_scales=ts, page_size=ps,
+                             layer_idx=jnp.int32(1), union_pages=True)
+    # union regroups pages into different compute blocks, so the
+    # per-token dequant identity accumulates in a different order; both
+    # paths sit within ~1e-3 of the XLA oracle (verified), they just
+    # differ from each other at that level
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
