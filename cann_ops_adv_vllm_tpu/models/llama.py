@@ -192,13 +192,18 @@ def write_kv_page_rows(kv_cache, k_new, v_new, block_table, seq_pos,
         v_q, v_s = quantize_rows(v_new)
         kv_row = jnp.concatenate([k_q, v_q], axis=-1)
         ts = kv_cache["ts"]
-        ts = ts.at[(*lead, bi, pid_b, 0, row_k)].set(k_s)
-        ts = ts.at[(*lead, bi, pid_b, 2, row_k)].set(v_s)
-        return {"kv": pages.at[(*lead, bi, pid_b, row_k)].set(kv_row),
+        # unique_indices: every (layer, head, page, row) target is written
+        # at most once per step — lets XLA's scatter take its in-place path
+        ts = ts.at[(*lead, bi, pid_b, 0, row_k)].set(
+            k_s, unique_indices=True)
+        ts = ts.at[(*lead, bi, pid_b, 2, row_k)].set(
+            v_s, unique_indices=True)
+        return {"kv": pages.at[(*lead, bi, pid_b, row_k)].set(
+                    kv_row, unique_indices=True),
                 "ts": ts}
     kv_row = jnp.concatenate([k_new, v_new], axis=-1)        # [B, H, 2D]
     return pages.at[(*lead, bi, pid_b, row_k)].set(
-        kv_row.astype(pages.dtype))
+        kv_row.astype(pages.dtype), unique_indices=True)
 
 
 def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,

@@ -57,9 +57,13 @@ def chain_ms(cfg, params, kv, bt, seq, scan):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kv-dtype", default="auto", choices=["auto", "int8"])
+    a = ap.parse_args()
     ctx = 4096
     cfg = dataclasses.replace(
-        llama.LLAMA_2_7B, num_layers=4, kv_cache_dtype="auto")
+        llama.LLAMA_2_7B, num_layers=4, kv_cache_dtype=a.kv_dtype)
     params = llama.init_params(cfg, jax.random.key(0))
     base_pages = ctx // cfg.page_size + 8
     bt = jnp.arange(ctx // cfg.page_size + 4, dtype=jnp.int32)[None]
@@ -68,8 +72,10 @@ def main():
         for mult in (1, 2):
             kv = llama.init_kv_cache(cfg, base_pages * mult)
             ms = chain_ms(cfg, params, kv, bt, seq, scan)
-            gb = np.prod(kv.shape) * kv.dtype.itemsize / 1e9
+            gb = sum(np.prod(x.shape) * x.dtype.itemsize
+                     for x in jax.tree.leaves(kv)) / 1e9
             print(json.dumps({
+                "kv_dtype": a.kv_dtype,
                 "mode": "scan" if scan else "unrolled",
                 "pool_mult": mult, "cache_gb": round(gb, 3),
                 "step_ms": round(ms, 3),
