@@ -136,6 +136,41 @@ def rope(x, pos, theta):
     return out.astype(x.dtype)
 
 
+def _mm(x, w):
+    """``x @ w`` where ``w`` may be a weight-only-int8 dict {"q", "s"}
+    from :func:`quantize_params` — the int8→model-dtype convert fuses
+    into the matmul's operand read, halving weight HBM bytes (decode is
+    weight-bandwidth-bound below ~32K context)."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    return x @ w
+
+
+def quantize_params(params):
+    """Weight-only int8 (per-output-channel) over every projection.
+
+    Returns a params pytree of the same layout with each 2-D projection
+    (wq/wk/wv/wo, the MLP trio, lm_head) replaced by {"q": int8,
+    "s": f32[out]}.  Embeddings (1-row gathers), norms, biases and the
+    centroid codebooks (selection quality) stay full precision.  Tensor-
+    parallel sharding of quantized params is not wired yet — serve
+    quantized models single-replica or dp-only.
+    """
+    from ..ops.quant import quantize_weight
+
+    def qw(w):
+        q, sc = quantize_weight(w)
+        return {"q": q, "s": sc}
+
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            lp[k] = qw(lp[k])
+        layers.append(lp)
+    return {**params, "layers": layers, "lm_head": qw(params["lm_head"])}
+
+
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=None):
     """Fused-record paged KV cache for every layer.
 
@@ -144,7 +179,7 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=None):
     lane-interleaved layout; see ops.paged_attention.fuse_kv).
 
     With ``cfg.kv_cache_dtype == "int8"`` the cache is a dict
-    ``{"kv": int8 pages, "ts": [L, H_kv, P, 4, ps] fp32}`` — "ts" holds
+    ``{"kv": int8 pages, "ts": [L, H_kv, 4, P, ps] fp32}`` — "ts" holds
     the kernel's pre-stacked per-token antiquant rows (k_scale, k_offset,
     v_scale, v_offset; offsets stay zero — symmetric quantization), so
     the attention consumes the cache zero-copy with no per-step
@@ -155,8 +190,12 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=None):
         return {
             "kv": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages,
                              cfg.page_size, 2 * cfg.head_dim), jnp.int8),
-            "ts": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages,
-                             4, cfg.page_size), jnp.float32),
+            # scales-row axis BEFORE the page axis: the natural (8,128)
+            # tiling then falls on (P, ps) — XLA's preferred layout and
+            # the Pallas operand layout coincide, so no full-ts transpose
+            # per kernel call (and no 4→8 sublane padding of the rows)
+            "ts": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 4,
+                             num_pages, cfg.page_size), jnp.float32),
         }
     dtype = dtype or cfg.dtype
     return jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages,
@@ -194,9 +233,9 @@ def write_kv_page_rows(kv_cache, k_new, v_new, block_table, seq_pos,
         ts = kv_cache["ts"]
         # unique_indices: every (layer, head, page, row) target is written
         # at most once per step — lets XLA's scatter take its in-place path
-        ts = ts.at[(*lead, bi, pid_b, 0, row_k)].set(
+        ts = ts.at[(*lead, bi, 0, pid_b, row_k)].set(
             k_s, unique_indices=True)
-        ts = ts.at[(*lead, bi, pid_b, 2, row_k)].set(
+        ts = ts.at[(*lead, bi, 2, pid_b, row_k)].set(
             v_s, unique_indices=True)
         return {"kv": pages.at[(*lead, bi, pid_b, row_k)].set(
                     kv_row, unique_indices=True),
@@ -220,9 +259,9 @@ def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     pos = seq_lens.astype(jnp.int32) - 1     # current token's position
 
-    q = x @ layer_params["wq"]
-    k = x @ layer_params["wk"]
-    v = x @ layer_params["wv"]
+    q = _mm(x, layer_params["wq"])
+    k = _mm(x, layer_params["wk"])
+    v = _mm(x, layer_params["wv"])
     if "bq" in layer_params:
         q = q + layer_params["bq"]
         k = k + layer_params["bk"]
@@ -264,11 +303,12 @@ def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,
         kv_scales=kv_scales, page_size=cfg.page_size,
         layer_idx=layer_idx)
     out = out.reshape(b, nq * hd).astype(x.dtype)
-    return out @ layer_params["wo"], kv_cache_layer
+    return _mm(out, layer_params["wo"]), kv_cache_layer
 
 
 def _mlp(p, x):
-    return (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
+    return _mm(jax.nn.silu(_mm(x, p["w_gate"])) * _mm(x, p["w_up"]),
+               p["w_down"])
 
 
 def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
@@ -311,7 +351,7 @@ def decode_step(cfg: LlamaConfig, params, token_ids, kv_cache, block_table,
         x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
 
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     return logits, kv_cache
 
 
@@ -369,7 +409,7 @@ def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
 
     (x, new_cache), _ = jax.lax.scan(body, (x, kv_cache), xs)
     x = rms_norm(x, params_stacked["ln_f"], cfg.rms_eps)
-    logits = (x @ params_stacked["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params_stacked["lm_head"]).astype(jnp.float32)
     return logits, new_cache
 
 
@@ -448,9 +488,9 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
     # place (see decode_step)
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        q = h @ lp["wq"]
-        k = h @ lp["wk"]
-        v = h @ lp["wv"]
+        q = _mm(h, lp["wq"])
+        k = _mm(h, lp["wk"])
+        v = _mm(h, lp["wv"])
         if "bq" in lp:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = rope(q.reshape(b, t, nq, hd), pos, cfg.rope_theta)
@@ -469,7 +509,7 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
                                        sliding_window=cfg.sliding_window,
                                        layer_idx=li)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
-        x = x + reduce(attn @ lp["wo"]).astype(cfg.dtype)
+        x = x + reduce(_mm(attn, lp["wo"])).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
 
@@ -480,7 +520,7 @@ def prefill_chunk_step(cfg: LlamaConfig, params, token_ids, kv_cache,
         last = jnp.take_along_axis(
             x, idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, params["ln_f"], cfg.rms_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(last, params["lm_head"]).astype(jnp.float32)
     return logits, kv_cache
 
 
@@ -508,9 +548,9 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
         x, kv_c = carry
         lp, li = per_layer
         h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        q = h @ lp["wq"]
-        k = h @ lp["wk"]
-        v = h @ lp["wv"]
+        q = _mm(h, lp["wq"])
+        k = _mm(h, lp["wk"])
+        v = _mm(h, lp["wv"])
         if "bq" in lp:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = rope(q.reshape(b, t, nq, hd), pos, cfg.rope_theta)
@@ -529,7 +569,7 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
                                        sliding_window=cfg.sliding_window,
                                        layer_idx=li)
         attn = attn.reshape(b, t, nq * hd).astype(cfg.dtype)
-        x = x + reduce(attn @ lp["wo"]).astype(cfg.dtype)
+        x = x + reduce(_mm(attn, lp["wo"])).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + reduce(_mlp(lp, h)).astype(cfg.dtype)
         return (x, kv_c), None
@@ -543,7 +583,7 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
         last = jnp.take_along_axis(
             x, idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, params_stacked["ln_f"], cfg.rms_eps)
-    logits = (last @ params_stacked["lm_head"]).astype(jnp.float32)
+    logits = _mm(last, params_stacked["lm_head"]).astype(jnp.float32)
     return logits, new_cache
 
 

@@ -123,12 +123,12 @@ def assign_pages(kv_pages, centroids, valid_rows=None):
 def assign_pages_quantized(kv_pages, ts_pages, centroids):
     """:func:`assign_pages` for the int8 per-token KV cache.
 
-    kv_pages [H_kv, P, ps, 2D] int8, ts_pages [H_kv, P, 4, ps] (rows
+    kv_pages [H_kv, P, ps, 2D] int8, ts_pages [H_kv, 4, P, ps] (rows
     0/1 = K scale/offset): keys are dequantized row-wise before the mean.
     """
     d = centroids.shape[-1]
     k = kv_pages[..., :d].astype(jnp.float32)
-    k = (k * ts_pages[:, :, 0, :, None] + ts_pages[:, :, 1, :, None])
+    k = (k * ts_pages[:, 0, :, :, None] + ts_pages[:, 1, :, :, None])
     mean_k = jnp.mean(k, axis=2)                              # [H, P, D]
     dots = jnp.einsum("hpd,hcd->hpc", mean_k,
                       centroids.astype(jnp.float32),

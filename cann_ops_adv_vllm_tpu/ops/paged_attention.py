@@ -307,7 +307,7 @@ def _kernel(
     k_offset_ref,
     v_scale_ref,
     v_offset_ref,
-    tok_scale_ref,  # [L, H_kv, P, 4, ps] ANY (per-token quant) or None
+    tok_scale_ref,  # [L, H_kv, 4, P, ps] ANY (per-token quant) or None
     bias_ref,       # [1, 1, 1, ppcb, ps] VMEM (score bias) or None
     slopes_ref,     # [H_kv, Gp, 128] VMEM f32 (alibi) or None
     oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
@@ -364,7 +364,7 @@ def _kernel(
                 copies.append((
                     cond, None,
                     pltpu.make_async_copy(
-                        tok_scale_ref.at[li, hh, pid_ref[bb, hp, idx]],
+                        tok_scale_ref.at[li, hh, :, pid_ref[bb, hp, idx]],
                         ts_buf.at[slot, j],
                         ts_sem.at[slot, j],
                     ),
@@ -507,7 +507,7 @@ def _slab_kernel(
     k_offset_ref,
     v_scale_ref,
     v_offset_ref,
-    tok_scale_ref,  # [L, H_kv, P, n_rows, ps] ANY (per-token quant) or None
+    tok_scale_ref,  # [L, H_kv, n_rows, P, ps] ANY (per-token quant) or None
     bias_ref,       # [1, H_b, 1, ppcb, ps] VMEM (score bias) or None
     slopes_ref,     # [H_kv, Gp, 128] VMEM f32 (alibi) or None
     oq_scale_ref,   # [H_kv, Gp, D] VMEM f32 (post-quant out) or None
@@ -612,7 +612,8 @@ def _slab_kernel(
                     copies.append((
                         cond, None,
                         pltpu.make_async_copy(
-                            tok_scale_ref.at[li, :, pid_ref[bb, 0, idx]],
+                            tok_scale_ref.at[li, :, :,
+                                             pid_ref[bb, 0, idx]],
                             ts_buf.at[slot, :, j],
                             ts_sem.at[slot, 0, j],
                         ),
@@ -633,7 +634,8 @@ def _slab_kernel(
                         copies.append((
                             cond, None,
                             pltpu.make_async_copy(
-                                tok_scale_ref.at[li, h, pid_ref[bb, h, idx]],
+                                tok_scale_ref.at[li, h, :,
+                                                 pid_ref[bb, h, idx]],
                                 ts_buf.at[slot, h, j],
                                 ts_sem.at[slot, h, j],
                             ),
@@ -955,7 +957,7 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
     ]
     if token_quant:
-        n_rows = tok_scales.shape[-2]
+        n_rows = tok_scales.shape[-3]
         scratch_shapes += [
             pltpu.VMEM((2, h_kv, ppcb, n_rows, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
@@ -1055,7 +1057,7 @@ def paged_flash_decode(
     Layered cache (the model hot path): pass the FULL per-layer cache
     ``k_pages`` [L, H_kv, P, ps, 2*D] with ``layer_idx`` (traced int32
     scalar) and, for the int8 cache, pre-stacked ``kv_scales``
-    [L, H_kv, P, 4, ps].  The kernel DMAs pages of layer ``layer_idx``
+    [L, H_kv, 4, P, ps].  The kernel DMAs pages of layer ``layer_idx``
     straight out of the persistent cache buffer — no per-layer slice is
     ever materialized, so a donated cache is updated fully in place
     across a model step (the O(pool)-copy-per-step failure mode of the
@@ -1177,16 +1179,16 @@ def paged_flash_decode(
     # ranks: [H_kv, D] = per-channel, [H_kv, P, ps] = per-token.  Mixing
     # them gives the reference's PER_CHANNEL_TOKEN_MODE = 2 (K per-channel
     # + V per-token, split header :71-72, used at :1266,:3049,:3462).
-    # A single pre-stacked array [H_kv, P, 4, ps] (rows: k_scale, k_offset,
+    # A single pre-stacked array [H_kv, 4, P, ps] (rows: k_scale, k_offset,
     # v_scale, v_offset) is the zero-copy per-token form the runtime KV
     # cache maintains natively (models.llama int8 cache) — no per-step
     # restacking of an O(pool) array.
     quantized = kv_scales is not None
     if quantized and not isinstance(kv_scales, (tuple, list)):
-        if kv_scales.ndim != 4 + layered or kv_scales.shape[-2] != 4:
+        if kv_scales.ndim != 4 + layered or kv_scales.shape[-3] != 4:
             raise ValueError(
                 "pre-stacked per-token kv_scales must be "
-                f"[{'L, ' if layered else ''}H_kv, P, 4, ps]; got "
+                f"[{'L, ' if layered else ''}H_kv, 4, P, ps]; got "
                 f"{kv_scales.shape}")
         tok_scales = kv_scales.astype(jnp.float32)
         k_token = v_token = True
@@ -1206,16 +1208,18 @@ def paged_flash_decode(
             v_scale = kv_scales[2].astype(jnp.float32)
             v_offset = kv_scales[3].astype(jnp.float32)
         if token_quant:
-            # the token-mode halves stack into [H_kv, P, n_rows, ps] — one
+            # the token-mode halves stack into [H_kv, n_rows, P, ps] — one
             # extra (slab) DMA per page; row layout is static (K rows
-            # first)
+            # first).  Rows axis BEFORE the page axis: see
+            # models.llama.init_kv_cache (layout-matched to the kernel
+            # operand, no transpose)
             rows = []
             if k_token:
                 rows += [kv_scales[0], kv_scales[1]]
             if v_token:
                 rows += [kv_scales[2], kv_scales[3]]
             tok_scales = jnp.stack(
-                [s.astype(jnp.float32) for s in rows], axis=2)
+                [s.astype(jnp.float32) for s in rows], axis=1)
         else:
             tok_scales = None
 
@@ -1386,7 +1390,7 @@ def paged_flash_decode(
     ]
     if token_quant:
         scratch_shapes += [
-            pltpu.VMEM((2, ppcb, tok_scales.shape[-2], page_size),
+            pltpu.VMEM((2, ppcb, tok_scales.shape[-3], page_size),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, ppcb)),
         ]
@@ -1484,8 +1488,8 @@ def paged_attention_xla(q, k_pages, v_pages, block_table, seq_lens,
     kq = k_pages.astype(jnp.float32)
     vq = v_pages.astype(jnp.float32)
     if kv_scales is not None and not isinstance(kv_scales, (tuple, list)):
-        # pre-stacked per-token form [H_kv, P, 4, ps] → 4-tuple view
-        kv_scales = tuple(kv_scales[:, :, r] for r in range(4))
+        # pre-stacked per-token form [H_kv, 4, P, ps] → 4-tuple view
+        kv_scales = tuple(kv_scales[:, r] for r in range(4))
     if kv_scales is not None:
         # K and V antiquant modes are independent (rank 2 = per-channel,
         # rank 3 = per-token — reference PER_CHANNEL_TOKEN_MODE = 2)

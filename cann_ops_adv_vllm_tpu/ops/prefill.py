@@ -64,8 +64,8 @@ def write_prompt_chunk(kv_cache, k_new, v_new, block_table, start_pos,
         v_q, v_s = quantize_rows(v_new)
         kv_row = jnp.concatenate([k_q, v_q], axis=-1)
         ts = kv_cache["ts"]
-        ts = ts.at[(*lead, hb, pb, 0, rb)].set(k_s, mode="drop")
-        ts = ts.at[(*lead, hb, pb, 2, rb)].set(v_s, mode="drop")
+        ts = ts.at[(*lead, hb, 0, pb, rb)].set(k_s, mode="drop")
+        ts = ts.at[(*lead, hb, 2, pb, rb)].set(v_s, mode="drop")
         return {"kv": pages.at[(*lead, hb, pb, rb)].set(kv_row,
                                                         mode="drop"),
                 "ts": ts}
@@ -111,7 +111,7 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
 
     per_token = False
     if kv_scales is not None and not isinstance(kv_scales, (tuple, list)):
-        # pre-stacked per-token scales [H_kv, P, 4, ps] (the int8 KV
+        # pre-stacked per-token scales [H_kv, 4, P, ps] (the int8 KV
         # cache's native layout, see models.llama.init_kv_cache)
         ts_pages = kv_scales.astype(jnp.float32)
         per_token = True
@@ -142,11 +142,15 @@ def paged_prefill_attention(q, kv_pages, block_table, start_pos, *,
         k = kv_blk[..., :d].reshape(b, h_kv, bk, d)
         v = kv_blk[..., d:].reshape(b, h_kv, bk, d)
         if per_token:
+            # separated-advanced indexing: the scales-row slice sits
+            # between the (head, page) index arrays, so the gathered
+            # result is [Hkv, B, kbp, 4, ps] in BOTH the layered and
+            # unlayered forms of the [.., H, 4, P, ps] scale pages
+            h_ix = jnp.arange(h_kv)[:, None, None]
             if layer_idx is None:
-                ts = ts_pages[:, pids]              # [Hkv, B, kbp, 4, ps]
+                ts = ts_pages[h_ix, :, pids[None]]
             else:
-                h_ix = jnp.arange(h_kv)[:, None, None]
-                ts = ts_pages[layer_idx, h_ix, pids[None]]
+                ts = ts_pages[layer_idx, h_ix, :, pids[None]]
             ts = ts.transpose(1, 0, 2, 3, 4).reshape(b, h_kv, kv_block_pages,
                                                      4, ps)
             ks = ts[:, :, :, 0].reshape(b, h_kv, bk)

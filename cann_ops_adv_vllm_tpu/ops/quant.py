@@ -148,3 +148,22 @@ def quantize_rows(x):
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
                  -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_weight(w):
+    """Weight-only int8: per-output-channel symmetric quantization.
+
+    w [in, out] float → (w_q [in, out] int8, scale [out] f32) with
+    ``w ≈ w_q * scale``.  The consumer computes
+    ``(x @ w_q.astype(x.dtype)) * scale`` — XLA fuses the int8→bf16
+    convert into the matmul's operand read, so decode-time weight HBM
+    traffic halves (the weight-dominated model step's main lever;
+    vLLM's weight-only-quant role — absent in the reference, which
+    quantizes only the KV cache).
+    """
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0)                 # [out]
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127
+                   ).astype(jnp.int8)
+    return w_q, scale

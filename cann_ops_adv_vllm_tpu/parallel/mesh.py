@@ -81,6 +81,20 @@ def kv_cache_spec() -> P:
     return P(None, "tp", ("sp", "dp"), None, None)
 
 
+def ts_spec() -> P:
+    """Per-token scale pages [L, H_kv, 4, P, ps] (scales-row axis before
+    the page axis — see models.llama.init_kv_cache): pool on axis 3."""
+    return P(None, "tp", None, ("sp", "dp"), None)
+
+
+def cache_specs(int8: bool):
+    """PartitionSpec pytree matching the cache pytree: the int8 cache is
+    a {"kv", "ts"} dict whose leaves shard the pool on different axes."""
+    if int8:
+        return {"kv": kv_cache_spec(), "ts": ts_spec()}
+    return kv_cache_spec()
+
+
 def shard_params(params, mesh: Mesh, sparse: bool):
     specs = param_specs(len(params["layers"]), sparse)
     return jax.tree.map(

@@ -29,7 +29,7 @@ from ..config import INT32_SENTINEL, MASK_VALUE
 from ..models import llama
 from ..ops.cent_select import _compact_positions
 from ..ops.paged_attention import paged_flash_decode
-from .mesh import kv_cache_spec, param_specs
+from .mesh import cache_specs, param_specs
 
 
 def _psum_if(x, axis):
@@ -61,6 +61,7 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
     pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids),
                          stacked=scan_layers)
     bids_spec = (P(None, "tp", "dp") if cfg.num_centroids else P())
+    cspec = cache_specs(cfg.kv_cache_dtype == "int8")
 
     # dp shards the batch (tokens / block tables / seq_lens / logits) and
     # the page pool (contiguous slice per replica; block tables hold local
@@ -68,9 +69,9 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
     # shard_map hands each replica its local batch and local pool.
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp"), kv_cache_spec(), P("dp", None),
+        in_specs=(pspecs, P("dp"), cspec, P("dp", None),
                   P("dp"), bids_spec),
-        out_specs=(P("dp"), kv_cache_spec()),
+        out_specs=(P("dp"), cspec),
         check_vma=False,
     )
     def step(params, tokens, kv_cache, block_table, seq_lens, block_ids):
@@ -104,12 +105,13 @@ def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
     local_cfg = _local_cfg(cfg, mesh)
     pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids),
                          stacked=scan_layers)
+    cspec = cache_specs(cfg.kv_cache_dtype == "int8")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(pspecs, P("dp", None), kv_cache_spec(), P("dp", None),
+        in_specs=(pspecs, P("dp", None), cspec, P("dp", None),
                   P("dp"), P("dp")),
-        out_specs=(P("dp"), kv_cache_spec()),
+        out_specs=(P("dp"), cspec),
         check_vma=False,
     )
     def step(params, token_ids, kv_cache, block_table, start_pos,

@@ -40,7 +40,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models import llama
-from ..parallel.mesh import kv_cache_spec, shard_params_global
+from ..parallel.mesh import kv_cache_spec, shard_params_global, ts_spec
 from ..parallel.sharded import tp_decode_step, tp_prefill_step
 from . import sampling
 from .allocator import PageAllocator
@@ -184,8 +184,8 @@ class ShardedDecodeEngine(DecodeEngine):
                      cfg.page_size, 2 * cfg.head_dim), np.int8,
                     kv_cache_spec()),
                 "ts": self._zeros_global(
-                    (cfg.num_layers, cfg.num_kv_heads, pool, 4,
-                     cfg.page_size), np.float32, kv_cache_spec()),
+                    (cfg.num_layers, cfg.num_kv_heads, 4, pool,
+                     cfg.page_size), np.float32, ts_spec()),
             }
         return self._zeros_global(
             (cfg.num_layers, cfg.num_kv_heads, pool, cfg.page_size,

@@ -130,6 +130,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--kv-dtype", default="int8",
                     choices=["int8", "bf16"])
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="weight-only int8 (llama.quantize_params)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -140,6 +142,9 @@ def main():
     for sparse in (False, True):
         cfg = build_cfg(args, sparse)
         params = llama.init_params(cfg, jax.random.key(0))
+        if args.weights == "int8":
+            params = jax.jit(llama.quantize_params)(params)
+            jax.block_until_ready(params)
         stats, eng = engine_run(cfg, params, args, prompt)
         dev_ms = device_step_slope(cfg, params, eng, args) * 1e3
         name = "sparse" if sparse else "dense"
@@ -151,7 +156,8 @@ def main():
 
     print(json.dumps({
         "metric": f"model e2e decode (L={args.layers} Llama-2-7B-class, "
-                  f"ctx={args.ctx}, {args.kv_dtype} KV, B={args.batch})",
+                  f"ctx={args.ctx}, {args.kv_dtype} KV, "
+                  f"{args.weights} weights, B={args.batch})",
         "sparse_vs_dense_device": round(
             results["dense"]["device_step_ms"]
             / results["sparse"]["device_step_ms"], 3),

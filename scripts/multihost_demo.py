@@ -174,7 +174,7 @@ def worker(proc_id: int, config5: bool = False) -> None:
 
     from cann_ops_adv_vllm_tpu.models import llama
     from cann_ops_adv_vllm_tpu.parallel.mesh import (
-        kv_cache_spec, make_mesh, param_specs)
+        kv_cache_spec, make_mesh, param_specs, ts_spec)
     from cann_ops_adv_vllm_tpu.parallel.sharded import tp_decode_step
 
     assert jax.process_count() == N_PROC
@@ -231,12 +231,12 @@ def worker(proc_id: int, config5: bool = False) -> None:
         kv_l = rng_fill.integers(
             -112, 112, (cfg.num_layers, cfg.num_kv_heads, pool,
                         cfg.page_size, 2 * cfg.head_dim)).astype(np.int8)
-        ts_l = np.zeros((cfg.num_layers, cfg.num_kv_heads, pool, 4,
+        ts_l = np.zeros((cfg.num_layers, cfg.num_kv_heads, 4, pool,
                          cfg.page_size), np.float32)
-        ts_l[:, :, :, 0] = 0.008 + 0.004 * rng_fill.random(
-            ts_l[:, :, :, 0].shape)                       # k per-token scale
-        ts_l[:, :, :, 2] = 0.008 + 0.004 * rng_fill.random(
-            ts_l[:, :, :, 2].shape)                       # v per-token scale
+        ts_l[:, :, 0] = 0.008 + 0.004 * rng_fill.random(
+            ts_l[:, :, 0].shape)                          # k per-token scale
+        ts_l[:, :, 2] = 0.008 + 0.004 * rng_fill.random(
+            ts_l[:, :, 2].shape)                          # v per-token scale
         cache_l = {"kv": kv_l, "ts": ts_l}
     else:
         cache_l = rng_fill.standard_normal(
@@ -247,7 +247,8 @@ def worker(proc_id: int, config5: bool = False) -> None:
     bt = dp_shard(P("dp", None), bt_l)
     seq = dp_shard(P("dp"), seq_l)
     if isinstance(cache_l, dict):
-        kv_cache = {k: dp_shard(kv_cache_spec(), v)
+        specs = {"kv": kv_cache_spec(), "ts": ts_spec()}
+        kv_cache = {k: dp_shard(specs[k], v)
                     for k, v in cache_l.items()}
     else:
         kv_cache = dp_shard(kv_cache_spec(), cache_l)

