@@ -382,6 +382,13 @@ def incre_flash_attention(
     ``prefix_lens``; the two-pass LSE combine of the reference
     (ProcessSysPrefixCombine) merges prefix and user attention.
 
+    ``inner_precise`` (the reference's high-precision vs high-performance
+    mode attribute, incre_flash_attention_def.cpp:288-293) has no knob
+    here by design: the kernel always carries fp32 softmax running state
+    and fp32 accumulators — permanently the high-precision mode, at no
+    measured cost (the MXU takes bf16 operands either way and the
+    elementwise state is VMEM-resident).
+
     Returns attention_out in ``input_layout`` (int8 if quant_scale2 is
     given), plus softmax LSE [B, H_q] if ``softmax_lse_flag``.
     """

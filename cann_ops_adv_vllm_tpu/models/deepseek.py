@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import PAGE_SIZE
 from ..ops import mla as mla_ops
-from .llama import rms_norm, rope
+from .llama import _mm, rms_norm, rope
 
 
 def _round_up(x, m):
@@ -130,6 +130,30 @@ def init_params(cfg: DeepSeekConfig, key) -> dict:
     }
 
 
+def quantize_params(cfg: DeepSeekConfig, params):
+    """Weight-only int8 over the MLA projections (llama.quantize_params
+    analog).  The per-head low-rank factors (w_uk/w_uv — absorbed into
+    activations, small), router, expert tables and norms stay full
+    precision."""
+    from ..ops.quant import quantize_weight
+
+    def qw(w):
+        q, sc = quantize_weight(w)
+        return {"q": q, "s": sc}
+
+    keys = ["w_dkv", "wo"]
+    keys += (["w_dq", "w_uq"] if cfg.q_lora_rank else ["wq"])
+    if not cfg.num_experts:
+        keys += ["w_gate", "w_up", "w_down"]
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        for k in keys:
+            lp[k] = qw(lp[k])
+        layers.append(lp)
+    return {**params, "layers": layers, "lm_head": qw(params["lm_head"])}
+
+
 def init_latent_cache(cfg: DeepSeekConfig, num_pages: int, dtype=None):
     """[num_layers, 1, num_pages, page_size, record_width]."""
     dtype = dtype or cfg.dtype
@@ -145,14 +169,15 @@ def _mla_qkv(cfg, lp, x, pos):
     """
     nh, dn, dr = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     if cfg.q_lora_rank:
-        q = rms_norm(x @ lp["w_dq"], lp["q_ln"], cfg.rms_eps) @ lp["w_uq"]
+        q = _mm(rms_norm(_mm(x, lp["w_dq"]), lp["q_ln"], cfg.rms_eps),
+                lp["w_uq"])
     else:
-        q = x @ lp["wq"]
+        q = _mm(x, lp["wq"])
     q = q.reshape(*x.shape[:-1], nh, dn + dr)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     q_pe = rope(q_pe, pos, cfg.rope_theta)
 
-    kv = x @ lp["w_dkv"]                                   # [..., c+dr]
+    kv = _mm(x, lp["w_dkv"])                               # [..., c+dr]
     c_kv = rms_norm(kv[..., :cfg.kv_lora_rank], lp["kv_ln"], cfg.rms_eps)
     k_pe = rope(kv[..., None, cfg.kv_lora_rank:], pos,
                 cfg.rope_theta)[..., 0, :]                 # shared head
@@ -193,7 +218,8 @@ def _moe(cfg, lp, x):
 def _mlp(cfg, lp, x):
     if cfg.num_experts:
         return _moe(cfg, lp, x)
-    return (jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])) @ lp["w_down"]
+    return _mm(jax.nn.silu(_mm(x, lp["w_gate"])) * _mm(x, lp["w_up"]),
+               lp["w_down"])
 
 
 def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
@@ -218,11 +244,11 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
             lp["w_uk"], lp["w_uv"], sm_scale=cfg.sm_scale,
             page_size=cfg.page_size, layer_idx=li)
         attn = attn.reshape(b, -1).astype(cfg.dtype)
-        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        x = x + _mm(attn, lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     return logits, latent_cache
 
 
@@ -265,7 +291,7 @@ def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
         attn = jnp.einsum("bthc,hcd->bthd", o_lat,
                           lp["w_uv"].astype(jnp.float32))
         attn = attn.reshape(b, t, -1).astype(cfg.dtype)
-        x = x + (attn @ lp["wo"]).astype(cfg.dtype)
+        x = x + _mm(attn, lp["wo"]).astype(cfg.dtype)
         h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
         x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
     if valid_lens is None:
@@ -274,7 +300,7 @@ def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
         idx = jnp.clip(valid_lens.astype(jnp.int32) - 1, 0, t - 1)
         last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, params["ln_f"], cfg.rms_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(last, params["lm_head"]).astype(jnp.float32)
     return logits, latent_cache
 
 

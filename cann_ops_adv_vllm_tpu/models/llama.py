@@ -152,9 +152,11 @@ def quantize_params(params):
     Returns a params pytree of the same layout with each 2-D projection
     (wq/wk/wv/wo, the MLP trio, lm_head) replaced by {"q": int8,
     "s": f32[out]}.  Embeddings (1-row gathers), norms, biases and the
-    centroid codebooks (selection quality) stay full precision.  Tensor-
-    parallel sharding of quantized params is not wired yet — serve
-    quantized models single-replica or dp-only.
+    centroid codebooks (selection quality) stay full precision.
+    Tensor-parallel serving: parallel.mesh.param_specs(quantized=True)
+    expands each projection spec to the {"q", "s"} pair (scale follows
+    the out axis), and ShardedDecodeEngine detects quantized params
+    automatically.
     """
     from ..ops.quant import quantize_weight
 
@@ -384,7 +386,8 @@ def decode_step_scan(cfg: LlamaConfig, params_stacked, token_ids, kv_cache,
     reduce = reduce or (lambda t: t)
     x = params_stacked["embed"][token_ids].astype(cfg.dtype)
     use_sparse = cfg.num_centroids and block_ids is not None
-    num_layers = len(params_stacked["layers"]["wq"])
+    wq = params_stacked["layers"]["wq"]
+    num_layers = (wq["q"] if isinstance(wq, dict) else wq).shape[0]
     idxs = jnp.arange(num_layers, dtype=jnp.int32)
     xs = ((params_stacked["layers"], idxs, block_ids) if use_sparse
           else (params_stacked["layers"], idxs))
@@ -540,7 +543,8 @@ def prefill_chunk_step_scan(cfg: LlamaConfig, params_stacked, token_ids,
     x = params_stacked["embed"][token_ids].astype(cfg.dtype)
     pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
 
-    num_layers = len(params_stacked["layers"]["wq"])
+    wq = params_stacked["layers"]["wq"]
+    num_layers = (wq["q"] if isinstance(wq, dict) else wq).shape[0]
     idxs = jnp.arange(num_layers, dtype=jnp.int32)
 
     # cache as scan CARRY, layer-indexed in place (see decode_step_scan)

@@ -38,12 +38,26 @@ def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, ep: int = 1,
     return Mesh(arr, axis_names=("dp", "tp", "sp", "ep"))
 
 
-def param_specs(num_layers: int, sparse: bool, stacked: bool = False) -> dict:
+_WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                "lm_head")
+
+
+def _qspec(spec: P):
+    """Spec pair for a weight-only-int8 dict {"q", "s"}: the int8 matrix
+    keeps the weight's spec; the per-output-channel scale follows the
+    OUT axis (the weight's last axis)."""
+    return {"q": spec, "s": P(*spec[:-2], spec[-1])}
+
+
+def param_specs(num_layers: int, sparse: bool, stacked: bool = False,
+                quantized: bool = False) -> dict:
     """PartitionSpecs for the Llama parameter pytree (TP over heads).
 
     ``stacked=True`` returns specs for the scan-over-layers form
     (models.llama.stack_layer_params): one dict of [L, ...] arrays, every
-    layer spec gaining a leading replicated axis.
+    layer spec gaining a leading replicated axis.  ``quantized=True``
+    expands each projection spec to the {"q", "s"} pair of
+    models.llama.quantize_params.
     """
     layer = {
         "wq": P(None, "tp"),       # columns = heads
@@ -59,14 +73,18 @@ def param_specs(num_layers: int, sparse: bool, stacked: bool = False) -> dict:
     if sparse:
         layer["l1_cent"] = P("tp", None, None)   # per-KV-head codebooks
     if stacked:
-        layers = {k: P(None, *s) for k, s in layer.items()}
-    else:
-        layers = [dict(layer) for _ in range(num_layers)]
+        layer = {k: P(None, *s) for k, s in layer.items()}
+    if quantized:
+        layer = {k: (_qspec(s) if k in _WEIGHT_KEYS else s)
+                 for k, s in layer.items()}
+    layers = layer if stacked else [dict(layer)
+                                    for _ in range(num_layers)]
+    lm_head = P(None, None)
     return {
         "embed": P(None, None),
         "layers": layers,
         "ln_f": P(None),
-        "lm_head": P(None, None),
+        "lm_head": _qspec(lm_head) if quantized else lm_head,
     }
 
 
@@ -114,9 +132,12 @@ def shard_params_global(params, mesh: Mesh, sparse: bool):
     well as on a single-controller virtual mesh.
     """
     stacked_tree = not isinstance(params["layers"], list)
-    num_layers = (params["layers"]["wq"].shape[0] if stacked_tree
-                  else len(params["layers"]))
-    specs = param_specs(num_layers, sparse, stacked=stacked_tree)
+    first = (params["layers"] if stacked_tree else params["layers"][0])
+    quantized = isinstance(first["wq"], dict)
+    wq = first["wq"]["q"] if quantized else first["wq"]
+    num_layers = wq.shape[0] if stacked_tree else len(params["layers"])
+    specs = param_specs(num_layers, sparse, stacked=stacked_tree,
+                        quantized=quantized)
     return jax.tree.map(
         lambda x, s: jax.make_array_from_process_local_data(
             NamedSharding(mesh, s), np.asarray(x)),

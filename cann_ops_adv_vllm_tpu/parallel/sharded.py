@@ -47,7 +47,8 @@ def _local_cfg(cfg: llama.LlamaConfig, mesh):
         num_kv_heads=cfg.num_kv_heads // tp)
 
 
-def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
+def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False,
+                   quantized_weights: bool = False):
     """Build a tensor-parallel decode step over mesh axis "tp".
 
     Per-shard the model is just a narrower Llama (num_heads/tp,
@@ -59,7 +60,8 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
     """
     local_cfg = _local_cfg(cfg, mesh)
     pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids),
-                         stacked=scan_layers)
+                         stacked=scan_layers,
+                         quantized=quantized_weights)
     bids_spec = (P(None, "tp", "dp") if cfg.num_centroids else P())
     cspec = cache_specs(cfg.kv_cache_dtype == "int8")
 
@@ -92,7 +94,8 @@ def tp_decode_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
     return jax.jit(wrapped, donate_argnums=(2,))
 
 
-def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
+def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False,
+                    quantized_weights: bool = False):
     """Tensor-parallel chunked-prefill step over mesh axes (dp, tp).
 
     The dp×tp layout of :func:`tp_decode_step` applied to
@@ -104,7 +107,8 @@ def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False):
     """
     local_cfg = _local_cfg(cfg, mesh)
     pspecs = param_specs(cfg.num_layers, sparse=bool(cfg.num_centroids),
-                         stacked=scan_layers)
+                         stacked=scan_layers,
+                         quantized=quantized_weights)
     cspec = cache_specs(cfg.kv_cache_dtype == "int8")
 
     @functools.partial(

@@ -124,6 +124,9 @@ class ShardedDecodeEngine(DecodeEngine):
         self.global_batch = max_batch * self.nproc
         self._lane_offset = jax.process_index() * max_batch
         self._seed0 = seed
+        self._quantized_weights = isinstance(
+            (params["layers"][0] if isinstance(params["layers"], list)
+             else params["layers"])["wq"], dict)
         self._sample_step = 0
         self._fin_agreed = False
         self._scan_layers = scan_layers
@@ -199,10 +202,13 @@ class ShardedDecodeEngine(DecodeEngine):
              pages_per_replica * self.dp), np.int32, P(None, "tp", "dp"))
 
     def _build_decode_fn(self, scan_layers: bool):
-        return tp_decode_step(self.cfg, self.mesh, scan_layers=scan_layers)
+        return tp_decode_step(self.cfg, self.mesh, scan_layers=scan_layers,
+                              quantized_weights=self._quantized_weights)
 
     def _build_prefill_fn(self, scan_layers: bool):
-        return tp_prefill_step(self.cfg, self.mesh, scan_layers=scan_layers)
+        return tp_prefill_step(self.cfg, self.mesh,
+                               scan_layers=scan_layers,
+                               quantized_weights=self._quantized_weights)
 
     # -- device boundary -----------------------------------------------------
 

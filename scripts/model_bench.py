@@ -52,7 +52,7 @@ def engine_run(cfg, params, args, prompt):
     eng = DecodeEngine(cfg, params, num_pages=num_pages,
                        max_batch=args.batch,
                        max_page=args.ctx // cfg.page_size + 8,
-                       prefill_chunk=2048)
+                       prefill_chunk=2048, scan_layers=args.scan)
     for i in range(args.batch):
         eng.add_request(Request(seq_id=i, prompt=prompt,
                                 max_new_tokens=args.decode))
@@ -132,6 +132,10 @@ def main():
                     choices=["int8", "bf16"])
     ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
                     help="weight-only int8 (llama.quantize_params)")
+    ap.add_argument("--scan", action="store_true",
+                    help="scan-over-layers engine steps (O(1)-in-depth "
+                         "programs; avoids the cold remote-compile cost "
+                         "of deep unrolled prefill, required for L=32)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)

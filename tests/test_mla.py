@@ -249,3 +249,24 @@ def test_deepseek_engine_serving(rng):
                 out.append(nxt)
                 toks.append(nxt)
         assert out == list(r.generated), (r.seq_id, out, r.generated)
+
+
+def test_deepseek_weight_only_int8(rng):
+    """deepseek.quantize_params: decode runs, logits close to fp."""
+    cfg = dataclasses.replace(deepseek.TINY_DEEPSEEK_MOE, num_layers=2,
+                              page_size=16, dtype=jnp.float32)
+    params = deepseek.init_params(cfg, jax.random.key(0))
+    qparams = deepseek.quantize_params(cfg, params)
+    b, mp, pool = 2, 8, 16
+    bt = jnp.stack([jnp.arange(mp, dtype=jnp.int32) + i * (pool // b)
+                    for i in range(b)])
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (b,)), jnp.int32)
+    seq = jnp.asarray([4, 7], jnp.int32)
+    logits, _ = deepseek.decode_step(
+        cfg, params, tokens, deepseek.init_latent_cache(cfg, pool), bt, seq)
+    logits_q, _ = deepseek.decode_step(
+        cfg, qparams, tokens, deepseek.init_latent_cache(cfg, pool), bt,
+        seq)
+    denom = np.maximum(np.abs(np.asarray(logits)).max(), 1.0)
+    rel = np.abs(np.asarray(logits_q) - np.asarray(logits)).max() / denom
+    assert rel < 0.05, rel

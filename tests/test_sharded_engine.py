@@ -94,3 +94,20 @@ def test_sharded_engine_scan_layers():
     want = _run(DecodeEngine(CFG, params, num_pages=32, max_batch=2,
                              max_page=8, prefill_chunk=PS), reqs_b)
     assert got == want
+
+
+def test_sharded_engine_quantized_weights():
+    """Weight-only int8 params through the dp×tp engine == the plain
+    engine on the same quantized params (greedy)."""
+    params = llama.quantize_params(
+        llama.init_params(CFG, jax.random.key(7)))
+    mesh = make_mesh(dp=2, tp=2)
+    got = _run(
+        ShardedDecodeEngine(CFG, params, pages_per_replica=24, mesh=mesh,
+                            max_batch=2, max_page=8, prefill_chunk=PS),
+        _requests(3, np.random.default_rng(8), [11, 25], max_new=4))
+    want = _run(
+        DecodeEngine(CFG, params, num_pages=48, max_batch=2, max_page=8,
+                     prefill_chunk=PS),
+        _requests(3, np.random.default_rng(8), [11, 25], max_new=4))
+    assert got == want
