@@ -48,11 +48,23 @@ class DeepSeekConfig:
     page_size: int = PAGE_SIZE
     #: engine-contract fields (DecodeEngine reads these off any model
     #: config): latent rows keep the model dtype (the latent cache is
-    #: already 8-50× smaller than per-head KV), no sliding window, and
-    #: centroid sparsity over latent pages is not wired yet
+    #: already 8-50× smaller than per-head KV); no sliding window.
+    #: ``num_centroids`` enables centroid sparsity over LATENT pages —
+    #: one codebook per layer in record space ([1, C, record_width]); the
+    #: shared latent stream (h_kv = 1) means selection hands the kernel
+    #: one shared position row, so sparse MLA keeps the slab-DMA fast
+    #: path unconditionally
     kv_cache_dtype: str = "auto"
     sliding_window: int = 0
     num_centroids: int = 0
+    top_k_clusters: int = 64
+    max_page_num: int = 256
+    workload_cap_ratio: int = 8
+
+    @property
+    def num_kv_heads(self):
+        """Engine contract: the latent cache is one shared stream."""
+        return 1
     # --- MoE (0 experts → dense MLP) ---
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -99,6 +111,9 @@ def init_params(cfg: DeepSeekConfig, key) -> dict:
             "ln_attn": jnp.ones((h,), cfg.dtype),
             "ln_mlp": jnp.ones((h,), cfg.dtype),
         }
+        if cfg.num_centroids:
+            p["l1_cent"] = dense(ks[5], (1, cfg.num_centroids,
+                                         cfg.record_width), 1.0)
         if cfg.q_lora_rank:
             p["w_dq"] = dense(ks[0], (h, cfg.q_lora_rank))
             p["q_ln"] = jnp.ones((cfg.q_lora_rank,), cfg.dtype)
@@ -223,14 +238,19 @@ def _mlp(cfg, lp, x):
 
 
 def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
-                block_table, seq_lens):
+                block_table, seq_lens, block_ids=None):
     """One decode step.  Mirrors llama.decode_step but with the MLA chain.
 
-    latent_cache: [L, 1, P, ps, W]; returns (logits [B, V], new cache).
+    latent_cache: [L, 1, P, ps, W]; block_ids: optional [L, 1, P] int32
+    latent-page cluster ids for centroid-sparse MLA (cfg.num_centroids).
+    Returns (logits [B, V], new cache).
     """
+    from ..ops.cent_select import cent_select
+
     b = token_ids.shape[0]
     pos = seq_lens.astype(jnp.int32) - 1
     x = params["embed"][token_ids].astype(cfg.dtype)
+    width = cfg.record_width
     # full [L, 1, P, ps, W] cache written/read in place at each layer
     # index (models.llama.decode_step rationale: no per-step pool copies)
     for li, lp in enumerate(params["layers"]):
@@ -239,9 +259,27 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
         latent_cache = mla_ops.write_latent_rows(
             latent_cache, row, block_table[:b], pos,
             page_size=cfg.page_size, layer_idx=li)
+        positions = position_lens = None
+        if cfg.num_centroids and block_ids is not None:
+            # centroid-sparse MLA: selection runs in RECORD space — the
+            # absorbed query already scores rows by q_eff · record, so
+            # the codebook lives there too; the GQA-group analog of
+            # kv_group mode is the mean absorbed query (all heads share
+            # the one latent stream)
+            q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
+                                             width=width)
+            q_sel = jnp.mean(q_eff, axis=1, keepdims=True)   # [B, 1, W]
+            positions, plen, _ = cent_select(
+                q_sel, lp["l1_cent"], block_ids[li], block_table[:b],
+                seq_lens, k=cfg.top_k_clusters, block_size=cfg.page_size,
+                max_page_num=cfg.max_page_num,
+                workload_cap_ratio=cfg.workload_cap_ratio,
+                group_mode="per_qhead")
+            position_lens = plen[..., 0]
         attn = mla_ops.mla_attention(
             q_nope, q_pe, latent_cache, block_table[:b], seq_lens,
-            lp["w_uk"], lp["w_uv"], sm_scale=cfg.sm_scale,
+            lp["w_uk"], lp["w_uv"], positions=positions,
+            position_lens=position_lens, sm_scale=cfg.sm_scale,
             page_size=cfg.page_size, layer_idx=li)
         attn = attn.reshape(b, -1).astype(cfg.dtype)
         x = x + _mm(attn, lp["wo"]).astype(cfg.dtype)
@@ -256,9 +294,10 @@ def make_decode_fn(cfg: DeepSeekConfig):
     import functools
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def fn(params, token_ids, latent_cache, block_table, seq_lens):
+    def fn(params, token_ids, latent_cache, block_table, seq_lens,
+           block_ids=None):
         return decode_step(cfg, params, token_ids, latent_cache,
-                           block_table, seq_lens)
+                           block_table, seq_lens, block_ids)
     return fn
 
 

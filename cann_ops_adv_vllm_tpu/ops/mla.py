@@ -41,7 +41,8 @@ from .paged_attention import _precompute_meta, _slab_call
     static_argnames=("d_v", "sm_scale", "page_size", "ppcb", "return_lse",
                      "interpret"),
 )
-def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
+def mla_flash_decode(q, latent_pages, block_table, seq_lens,
+                     positions=None, position_lens=None, *, d_v,
                      sm_scale, page_size=PAGE_SIZE, ppcb=None,
                      return_lse=False, interpret=None, layer_idx=None):
     """Latent flash decode: softmax(q·recordᵀ)·record[:, :d_v].
@@ -52,6 +53,11 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
                     ``layer_idx`` — the FULL [L, 1, P, page_size, W]
                     cache, read in place at that layer.
       block_table:  [B, max_page] int32; seq_lens: [B] int32.
+      positions:    optional [B, 1, M] ascending selected slots
+                    (sentinel-padded, from ops.cent_select over the
+                    latent stream) with ``position_lens`` [B, 1] —
+                    sparse MLA decode; the single shared row keeps the
+                    slab-DMA fast path.
       d_v:          latent width (output is [B, H, d_v]).
       sm_scale:     softmax scale (MLA: 1/sqrt(qk_nope + qk_rope dims)).
     """
@@ -65,13 +71,16 @@ def mla_flash_decode(q, latent_pages, block_table, seq_lens, *, d_v,
     if gp != h:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - h), (0, 0)))
 
-    positions = jnp.broadcast_to(
-        jnp.arange(max_page, dtype=jnp.int32)[None, None, :],
-        (b, 1, max_page))
-    page_len = (seq_lens.astype(jnp.int32) + page_size - 1) // page_size
+    if positions is None:
+        positions = jnp.broadcast_to(
+            jnp.arange(max_page, dtype=jnp.int32)[None, None, :],
+            (b, 1, max_page))
+        page_len = (seq_lens.astype(jnp.int32)
+                    + page_size - 1) // page_size
+        position_lens = page_len[:, None]
     pids, begs, ends, nblk = _precompute_meta(
-        block_table, seq_lens, positions, page_len[:, None], page_size,
-        num_pages)
+        block_table, seq_lens, positions.astype(jnp.int32),
+        position_lens.astype(jnp.int32), page_size, num_pages)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -107,7 +116,8 @@ def absorbed_queries(q_nope, q_rope, w_uk, *, width):
 
 
 def mla_attention(q_nope, q_rope, latent_pages, block_table, seq_lens,
-                  w_uk, w_uv, *, sm_scale=None, page_size=PAGE_SIZE,
+                  w_uk, w_uv, *, positions=None, position_lens=None,
+                  sm_scale=None, page_size=PAGE_SIZE,
                   ppcb=None, interpret=None, layer_idx=None):
     """Full absorbed MLA decode attention.
 
@@ -127,7 +137,8 @@ def mla_attention(q_nope, q_rope, latent_pages, block_table, seq_lens,
         sm_scale = float(1.0 / ((dn + dr) ** 0.5))
     q_eff = absorbed_queries(q_nope, q_rope, w_uk, width=width)
     o_lat = mla_flash_decode(
-        q_eff, latent_pages, block_table, seq_lens, d_v=c,
+        q_eff, latent_pages, block_table, seq_lens,
+        positions, position_lens, d_v=c,
         sm_scale=sm_scale, page_size=page_size, ppcb=ppcb,
         interpret=interpret, layer_idx=layer_idx)
     return jnp.einsum("bhc,hcd->bhd", o_lat.astype(jnp.float32),

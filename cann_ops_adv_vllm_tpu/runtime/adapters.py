@@ -67,7 +67,9 @@ class DeepSeekAdapter:
 
     The latent stream is h_kv = 1, so the cache is
     [L, 1, P, ps, record_width] and the slab kernel's shared-row fast
-    path applies to every decode step (ops.mla).
+    path applies to every decode step (ops.mla) — including the
+    centroid-sparse path (``cfg.num_centroids``): one codebook per layer
+    in record space selects latent pages, one shared position row.
     """
 
     def __init__(self, cfg: deepseek.DeepSeekConfig):
@@ -84,21 +86,21 @@ class DeepSeekAdapter:
 
     def make_decode_fn(self, scan_layers):
         del scan_layers
-        step = deepseek.make_decode_fn(self.cfg)
-
-        def fn(params, token_ids, cache, block_table, seq_lens,
-               block_ids=None):
-            del block_ids                       # dense MLA
-            return step(params, token_ids, cache, block_table, seq_lens)
-
-        return fn
+        return deepseek.make_decode_fn(self.cfg)
 
     def make_prefill_fn(self, scan_layers):
         del scan_layers
         return deepseek.make_prefill_fn(self.cfg)
 
     def extract_cents(self, params):
+        layers = params["layers"]
+        if isinstance(layers, list) and "l1_cent" in layers[0]:
+            return jnp.stack([lp["l1_cent"] for lp in layers])
         return None
 
     def assign_block_ids(self, cache, cents):
-        raise NotImplementedError("centroid sparsity over latent pages")
+        # latent pages assigned by mean record row vs the record-space
+        # codebook — assign_pages with d = record_width reads the whole
+        # row as "K"
+        from ..ops.clustering import assign_pages
+        return jax.vmap(assign_pages)(cache, cents)

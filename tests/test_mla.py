@@ -270,3 +270,69 @@ def test_deepseek_weight_only_int8(rng):
     denom = np.maximum(np.abs(np.asarray(logits)).max(), 1.0)
     rel = np.abs(np.asarray(logits_q) - np.asarray(logits)).max() / denom
     assert rel < 0.05, rel
+
+
+def test_sparse_mla_selection(rng):
+    """Centroid-sparse MLA: sentinel isolation (selected latent pages 0.1,
+    unselected 9.9 → no 9.9 influence) + engine serving with latent-page
+    centroids."""
+    cfg = dataclasses.replace(deepseek.TINY_DEEPSEEK, num_layers=1,
+                              page_size=16, dtype=jnp.float32,
+                              num_centroids=8, top_k_clusters=2,
+                              max_page_num=8, workload_cap_ratio=0)
+    w = cfg.record_width
+    b, mp, pool = 1, 8, 16
+    bt = jnp.arange(mp, dtype=jnp.int32)[None]
+    seq = jnp.full((b,), mp * cfg.page_size, jnp.int32)
+
+    # hand-built latent cache: cluster 0 pages hold 0.1, others 9.9
+    block_ids = jnp.asarray(
+        np.r_[np.zeros(4, np.int32), np.ones(pool - 4, np.int32)])[None]
+    pages = np.full((1, pool, cfg.page_size, w), 9.9, np.float32)
+    pages[0, :4] = 0.1
+    pages = jnp.asarray(pages)
+
+    # a codebook whose cluster 0 matches the mean query direction
+    q_eff = jnp.ones((b, 1, w), jnp.float32)
+    cents = np.full((1, cfg.num_centroids, w), -1.0, np.float32)
+    cents[0, 0] = 1.0
+    from cann_ops_adv_vllm_tpu.ops.cent_select import cent_select
+    pos, plen, _ = cent_select(
+        q_eff, jnp.asarray(cents), block_ids, bt, seq,
+        k=1, block_size=cfg.page_size, max_page_num=8,
+        workload_cap_ratio=0, force_sink_and_recent=False,
+        group_mode="per_qhead")
+    out = mla_ops.mla_flash_decode(
+        jnp.ones((b, 4, w), jnp.float32), pages, bt, seq,
+        pos, plen[..., 0], d_v=cfg.kv_lora_rank,
+        sm_scale=cfg.sm_scale, page_size=cfg.page_size)
+    np.testing.assert_allclose(np.asarray(out), 0.1, rtol=1e-5, atol=1e-5)
+
+    # end-to-end: engine with latent centroids completes and matches the
+    # dense engine at k >= C (every cluster selected => same math)
+    from cann_ops_adv_vllm_tpu.runtime.adapters import DeepSeekAdapter
+    from cann_ops_adv_vllm_tpu.runtime.engine import DecodeEngine, Request
+    cfg_all = dataclasses.replace(cfg, num_layers=2, top_k_clusters=8,
+                                  workload_cap_ratio=0)
+    params = deepseek.init_params(cfg_all, jax.random.key(3))
+    prompts = [rng.integers(1, cfg_all.vocab_size, n).astype(np.int32)
+               for n in (9, 18)]
+
+    def serve(c):
+        eng = DecodeEngine(c, params, num_pages=32, max_batch=2,
+                           max_page=8, prefill_chunk=c.page_size,
+                           adapter=DeepSeekAdapter(c))
+        reqs = [Request(seq_id=i, prompt=p, max_new_tokens=4)
+                for i, p in enumerate(prompts)]
+        for r in reqs:
+            eng.add_request(r)
+        eng.run(max_steps=200)
+        return [list(r.generated) for r in reqs]
+
+    dense_cfg = dataclasses.replace(cfg_all, num_centroids=0)
+    sparse_toks = serve(cfg_all)
+    # params for the dense config lack l1_cent in spec terms but the
+    # engine just ignores the extra leaf; compare token streams
+    dense_toks = serve(dense_cfg)
+    assert sparse_toks == dense_toks
+    assert all(len(t) == 4 for t in sparse_toks)
