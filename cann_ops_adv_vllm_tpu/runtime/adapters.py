@@ -35,7 +35,11 @@ class LlamaAdapter:
         self.cfg = cfg
 
     def prepare_params(self, params, scan_layers):
-        return llama.stack_layer_params(params) if scan_layers else params
+        # accept already-stacked params (callers stack ahead of time to
+        # avoid holding two full weight copies at once)
+        if scan_layers and isinstance(params["layers"], list):
+            return llama.stack_layer_params(params)
+        return params
 
     def init_cache(self, num_pages):
         return llama.init_kv_cache(self.cfg, num_pages)

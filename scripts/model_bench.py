@@ -89,7 +89,11 @@ def device_step_slope(cfg, params, eng, args):
     chained program's HLO is O(1) in depth — the per-layer-unrolled chain
     exceeded the remote-compile transport at L=8.
     """
-    stacked = llama.stack_layer_params(params)
+    # with --scan the engine already holds stacked params — reuse them
+    # (a fresh stack is another full weight copy; at L=32 the duplicate
+    # OOMed the chip next to the 16K cache)
+    stacked = (eng.params if args.scan
+               else llama.stack_layer_params(params))
     kv = eng.kv_cache
     bt = jnp.asarray(eng._bt_host)
     seq = jnp.full((eng.max_batch,), args.ctx, jnp.int32)
@@ -148,6 +152,11 @@ def main():
         params = llama.init_params(cfg, jax.random.key(0))
         if args.weights == "int8":
             params = jax.jit(llama.quantize_params)(params)
+            jax.block_until_ready(params)
+        if args.scan:
+            # stack BEFORE the engine so only one full weight copy lives
+            # (the engine accepts pre-stacked params)
+            params = jax.jit(llama.stack_layer_params)(params)
             jax.block_until_ready(params)
         stats, eng = engine_run(cfg, params, args, prompt)
         dev_ms = device_step_slope(cfg, params, eng, args) * 1e3
