@@ -484,6 +484,31 @@ class DecodeEngine:
         if self.log_interval and self.stats.steps % self.log_interval == 0:
             logger.info("engine %s", self.stats.snapshot(self))
 
+    def memory_report(self) -> dict:
+        """Device-memory footprint of the serving state (bytes).
+
+        The L=32/16K sizing exercise made this non-optional operator
+        knowledge: weights + cache must be budgeted against HBM before
+        admission sizing (see scripts/model_bench.py).
+        """
+        import jax as _jax
+
+        def tree_bytes(t):
+            return int(sum(x.size * x.dtype.itemsize
+                           for x in _jax.tree.leaves(t)))
+
+        cache = tree_bytes(self.kv_cache)
+        params = tree_bytes(self.params)
+        bids = tree_bytes(self.block_ids) if self.block_ids is not None             else 0
+        return {
+            "params_bytes": params,
+            "kv_cache_bytes": cache,
+            "block_ids_bytes": bids,
+            "total_gb": round((params + cache + bids) / 1e9, 3),
+            "bytes_per_page": (cache
+                               // max(self.allocator.num_pages, 1)),
+        }
+
     def run(self, max_steps: int = 10_000):
         steps = 0
         while self.step():

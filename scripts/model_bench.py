@@ -151,12 +151,17 @@ def main():
         cfg = build_cfg(args, sparse)
         params = llama.init_params(cfg, jax.random.key(0))
         if args.weights == "int8":
-            params = jax.jit(llama.quantize_params)(params)
+            # donate: the fp weights (2x the int8 bytes) free as the
+            # quantized leaves materialize — without this the transient
+            # holds both full copies (19+ GB at L=32, OOM)
+            params = jax.jit(llama.quantize_params,
+                             donate_argnums=(0,))(params)
             jax.block_until_ready(params)
         if args.scan:
             # stack BEFORE the engine so only one full weight copy lives
             # (the engine accepts pre-stacked params)
-            params = jax.jit(llama.stack_layer_params)(params)
+            params = jax.jit(llama.stack_layer_params,
+                             donate_argnums=(0,))(params)
             jax.block_until_ready(params)
         stats, eng = engine_run(cfg, params, args, prompt)
         dev_ms = device_step_slope(cfg, params, eng, args) * 1e3
