@@ -366,6 +366,7 @@ def incre_flash_attention(
     prefix_lens=None,
     prefix_antiquant_scale=None,
     prefix_antiquant_offset=None,
+    total_s_bias=None,
     ppcb=8,
     interpret=None,
 ):
@@ -459,7 +460,23 @@ def incre_flash_attention(
         user_span = block_table.shape[1] * block_size
         widths = [jnp.asarray(t).shape[-1]
                   for t in (atten_mask, pse_shift) if t is not None]
-        if widths and max(widths) > user_span:
+        # ``total_s_bias``: explicit caller declaration of the mask/pse
+        # indexing — True = [prefix || user] (reference total-S layout),
+        # False = user-KV only.  With the default None the split is
+        # inferred from the width, which is ambiguous when a total-S
+        # tensor still fits under the block-table CAPACITY: warn so a
+        # silently mis-indexed bias is discoverable.
+        split_total = (total_s_bias if total_s_bias is not None
+                       else bool(widths) and max(widths) > user_span)
+        if widths and total_s_bias is None and max(widths) <= user_span:
+            import warnings
+            warnings.warn(
+                "incre_flash_attention: atten_mask/pse_shift width fits "
+                "the user-KV table capacity, so it is treated as user-KV-"
+                "indexed; if it is a [prefix || user] total-S tensor, pass "
+                "total_s_bias=True (or False to silence this warning)",
+                stacklevel=2)
+        if widths and split_total:
             import numpy as _np
             if isinstance(prefix_lens, jax.core.Tracer):
                 raise ValueError(

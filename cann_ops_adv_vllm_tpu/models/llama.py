@@ -216,12 +216,18 @@ def write_kv_page_rows(kv_cache, k_new, v_new, block_table, seq_pos,
     seq_pos: [B] (position being written).
     """
     b = k_new.shape[0]
-    slot = seq_pos.astype(jnp.int32) // page_size
-    row = seq_pos.astype(jnp.int32) % page_size
+    pos = seq_pos.astype(jnp.int32)
+    slot = jnp.maximum(pos, 0) // page_size
+    row = jnp.maximum(pos, 0) % page_size
     pid = jnp.take_along_axis(block_table.astype(jnp.int32),
                               slot[:, None], axis=1)[:, 0]   # [B]
     quantized = isinstance(kv_cache, dict)
     pages = kv_cache["kv"] if quantized else kv_cache
+    # idle lanes (engine masks them with seq_lens = 0 → pos = -1) scatter
+    # to an out-of-range page and are dropped — without this every idle
+    # lane lands on the same wrapped (page, row) target, corrupting a live
+    # page and violating the unique_indices contract below
+    pid = jnp.where(pos >= 0, pid, pages.shape[-3])
     h_idx = jnp.arange(pages.shape[-4])[None, :]             # [1, H_kv]
     bi = jnp.broadcast_to(h_idx, (b, h_idx.shape[1]))
     pid_b = jnp.broadcast_to(pid[:, None], bi.shape)
@@ -236,15 +242,15 @@ def write_kv_page_rows(kv_cache, k_new, v_new, block_table, seq_pos,
         # unique_indices: every (layer, head, page, row) target is written
         # at most once per step — lets XLA's scatter take its in-place path
         ts = ts.at[(*lead, bi, 0, pid_b, row_k)].set(
-            k_s, unique_indices=True)
+            k_s, unique_indices=True, mode="drop")
         ts = ts.at[(*lead, bi, 2, pid_b, row_k)].set(
-            v_s, unique_indices=True)
+            v_s, unique_indices=True, mode="drop")
         return {"kv": pages.at[(*lead, bi, pid_b, row_k)].set(
-                    kv_row, unique_indices=True),
+                    kv_row, unique_indices=True, mode="drop"),
                 "ts": ts}
     kv_row = jnp.concatenate([k_new, v_new], axis=-1)        # [B, H, 2D]
     return pages.at[(*lead, bi, pid_b, row_k)].set(
-        kv_row.astype(pages.dtype), unique_indices=True)
+        kv_row.astype(pages.dtype), unique_indices=True, mode="drop")
 
 
 def _attention(cfg, layer_params, x, kv_cache_layer, block_table, seq_lens,

@@ -156,13 +156,17 @@ def write_latent_rows(latent_pages, latent_new, block_table, seq_pos,
     squeeze = latent_pages.ndim == 3
     if squeeze:
         latent_pages = latent_pages[None]
-    slot = seq_pos.astype(jnp.int32) // page_size
-    row = seq_pos.astype(jnp.int32) % page_size
+    pos = seq_pos.astype(jnp.int32)
+    slot = jnp.maximum(pos, 0) // page_size
+    row = jnp.maximum(pos, 0) % page_size
     pid = jnp.take_along_axis(block_table.astype(jnp.int32),
                               slot[:, None], axis=1)[:, 0]
+    # idle lanes (seq_lens = 0 → pos = -1) scatter out of range → dropped
+    # (same guard as models.llama.write_kv_page_rows)
+    pid = jnp.where(pos >= 0, pid, latent_pages.shape[-3])
     lead = () if layer_idx is None else (layer_idx,)
     out = latent_pages.at[(*lead, 0, pid, row)].set(
-        latent_new.astype(latent_pages.dtype))
+        latent_new.astype(latent_pages.dtype), mode="drop")
     return out[0] if squeeze else out
 
 

@@ -499,7 +499,8 @@ class DecodeEngine:
 
         cache = tree_bytes(self.kv_cache)
         params = tree_bytes(self.params)
-        bids = tree_bytes(self.block_ids) if self.block_ids is not None             else 0
+        bids = (tree_bytes(self.block_ids)
+                if self.block_ids is not None else 0)
         return {
             "params_bytes": params,
             "kv_cache_bytes": cache,

@@ -66,18 +66,27 @@ class _ReplicaPools:
         if r is not None:
             self.allocs[r].free_seq(seq_id)
 
+    def _alloc_of(self, seq_id: int) -> PageAllocator:
+        try:
+            return self.allocs[self._of[seq_id]]
+        except KeyError:
+            raise RuntimeError(
+                f"sharded engine: seq {seq_id} has no replica pool on this "
+                "process — a lane referenced a sequence that was never "
+                "admitted here (cross-process scheduling divergence)"
+            ) from None
+
     def append_tokens(self, seq_id: int, n: int = 1) -> int:
-        return self.allocs[self._of[seq_id]].append_tokens(seq_id, n)
+        return self._alloc_of(seq_id).append_tokens(seq_id, n)
 
     def num_tokens(self, seq_id: int) -> int:
-        return self.allocs[self._of[seq_id]].num_tokens(seq_id)
+        return self._alloc_of(seq_id).num_tokens(seq_id)
 
     def trim_front(self, seq_id: int, keep_from_token: int) -> int:
-        return self.allocs[self._of[seq_id]].trim_front(
-            seq_id, keep_from_token)
+        return self._alloc_of(seq_id).trim_front(seq_id, keep_from_token)
 
     def block_table(self, seq_id: int, max_len: int, pad_value: int = 0):
-        return self.allocs[self._of[seq_id]].block_table(
+        return self._alloc_of(seq_id).block_table(
             seq_id, max_len, pad_value=pad_value)
 
     @property

@@ -83,6 +83,21 @@ class TestDense:
         want = oracles.paged_attention_oracle(q, k, v, bt, seq, block_size=PS)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("dtype", ["float16", "bfloat16"])
+    def test_low_precision_dtypes(self, rng, dtype):
+        # fp16 is the reference's PRIMARY dtype (ifa_public_define.h dtype
+        # combos); the kernel must accept fp16 q/KV end-to-end, not just
+        # the bf16 the TPU cache defaults to
+        q, k, v, bt, _ = make_case(rng, b=2, max_page=8)
+        seq = np.array([8 * PS, 3 * PS + 5], dtype=np.int32)
+        dt = jnp.dtype(dtype)
+        ql, kl, vl = (jnp.asarray(x, dt) for x in (q, k, v))
+        got = paged_flash_decode(ql, kl, vl, bt, seq, page_size=PS)
+        assert got.dtype == dt
+        want = oracles.paged_attention_oracle(q, k, v, bt, seq, block_size=PS)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   rtol=2e-2, atol=2e-2)
+
 
 def _make_positions(rng, b, h_pos, max_page, n_sel, max_blocks):
     positions = np.full((b, h_pos, max_blocks), INT32_SENTINEL, np.int32)
