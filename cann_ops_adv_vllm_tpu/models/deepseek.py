@@ -203,11 +203,19 @@ def _mla_qkv(cfg, lp, x, pos):
     return q_nope, q_pe, row
 
 
-def _moe(cfg, lp, x):
+def _moe(cfg, lp, x, ep_axis=None):
     """Top-k routed MoE + shared experts (decode-batch sized).
 
     x [..., hidden] — chunked prefill passes [B, T, hidden]; the routed
     path flattens tokens (routing is per-token).
+
+    ``ep_axis``: expert-parallel mesh axis name.  The expert tables in
+    ``lp`` are then the LOCAL shard ([E/ep, ...]); routing runs
+    replicated against the full-width router, each shard evaluates only
+    the selected experts it owns, and partial outputs combine with one
+    ``psum`` over ICI (shared experts are added on shard 0 only so the
+    psum doesn't multiply them) — the engine-integrated form of
+    parallel.sharded.ep_moe.
     """
     lead = x.shape[:-1]
     x = x.reshape(-1, x.shape[-1])
@@ -216,139 +224,280 @@ def _moe(cfg, lp, x):
     top_w, top_i = jax.lax.top_k(scores, cfg.num_experts_per_tok)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
+    if ep_axis is not None:
+        e_local = lp["e_gate"].shape[0]
+        lo = jax.lax.axis_index(ep_axis) * e_local
+        local = top_i - lo                                  # [B, K]
+        mine = (local >= 0) & (local < e_local)
+        sel = jnp.clip(local, 0, e_local - 1)
+        top_w = jnp.where(mine, top_w, 0.0)
+    else:
+        sel = top_i
+
     # gather the selected experts' weights (decode batches are small)
-    eg = lp["e_gate"][top_i]                                # [B, K, h, im]
-    eu = lp["e_up"][top_i]
-    ed = lp["e_down"][top_i]
+    eg = lp["e_gate"][sel]                                  # [B, K, h, im]
+    eu = lp["e_up"][sel]
+    ed = lp["e_down"][sel]
     hmid = (jax.nn.silu(jnp.einsum("bh,bkhi->bki", x, eg))
             * jnp.einsum("bh,bkhi->bki", x, eu))
     y = jnp.einsum("bki,bkih->bkh", hmid, ed)
     y = jnp.einsum("bk,bkh->bh", top_w.astype(y.dtype), y)
     if cfg.n_shared_experts:
-        y = y + (jax.nn.silu(x @ lp["s_gate"]) * (x @ lp["s_up"])
-                 ) @ lp["s_down"]
+        shared = (jax.nn.silu(x @ lp["s_gate"]) * (x @ lp["s_up"])
+                  ) @ lp["s_down"]
+        if ep_axis is not None:
+            shared = shared * jnp.where(
+                jax.lax.axis_index(ep_axis) == 0, 1.0, 0.0
+            ).astype(shared.dtype)
+        y = y + shared
+    if ep_axis is not None:
+        y = jax.lax.psum(y, ep_axis)
     return y.reshape(*lead, y.shape[-1])
 
 
-def _mlp(cfg, lp, x):
+def _mlp(cfg, lp, x, ep_axis=None):
     if cfg.num_experts:
-        return _moe(cfg, lp, x)
+        return _moe(cfg, lp, x, ep_axis=ep_axis)
     return _mm(jax.nn.silu(_mm(x, lp["w_gate"])) * _mm(x, lp["w_up"]),
                lp["w_down"])
 
 
+def _decode_layer(cfg: DeepSeekConfig, lp, x, latent_cache, block_table,
+                  seq_lens, layer_block_ids, layer_idx, reduce,
+                  ep_axis=None):
+    """One MLA decoder layer (decode step).  x: [B, hidden].
+
+    ``reduce`` is applied to the attention output projection and the
+    dense-MLP down projection (the tensor-parallel psum seam —
+    models.llama.decode_step's contract); the MoE path carries its own
+    optional ep reduction (see :func:`_moe`).
+    """
+    from ..ops.cent_select import cent_select
+
+    b = x.shape[0]
+    pos = seq_lens.astype(jnp.int32) - 1
+    width = cfg.record_width
+    h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+    q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
+    latent_cache = mla_ops.write_latent_rows(
+        latent_cache, row, block_table[:b], pos,
+        page_size=cfg.page_size, layer_idx=layer_idx)
+    positions = position_lens = None
+    if cfg.num_centroids and layer_block_ids is not None:
+        # centroid-sparse MLA: selection runs in RECORD space — the
+        # absorbed query already scores rows by q_eff · record, so
+        # the codebook lives there too; the GQA-group analog of
+        # kv_group mode is the mean absorbed query (all heads share
+        # the one latent stream)
+        q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
+                                         width=width)
+        q_sel = jnp.mean(q_eff, axis=1, keepdims=True)   # [B, 1, W]
+        positions, plen, _ = cent_select(
+            q_sel, lp["l1_cent"], layer_block_ids, block_table[:b],
+            seq_lens, k=cfg.top_k_clusters, block_size=cfg.page_size,
+            max_page_num=cfg.max_page_num,
+            workload_cap_ratio=cfg.workload_cap_ratio,
+            group_mode="per_qhead")
+        position_lens = plen[..., 0]
+    attn = mla_ops.mla_attention(
+        q_nope, q_pe, latent_cache, block_table[:b], seq_lens,
+        lp["w_uk"], lp["w_uv"], positions=positions,
+        position_lens=position_lens, sm_scale=cfg.sm_scale,
+        page_size=cfg.page_size, layer_idx=layer_idx)
+    attn = attn.reshape(b, -1).astype(cfg.dtype)
+    x = x + reduce(_mm(attn, lp["wo"])).astype(cfg.dtype)
+    h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+    if cfg.num_experts:
+        x = x + _mlp(cfg, lp, h, ep_axis=ep_axis).astype(cfg.dtype)
+    else:
+        x = x + reduce(_mlp(cfg, lp, h)).astype(cfg.dtype)
+    return x, latent_cache
+
+
 def decode_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
-                block_table, seq_lens, block_ids=None):
+                block_table, seq_lens, block_ids=None, reduce=None,
+                ep_axis=None):
     """One decode step.  Mirrors llama.decode_step but with the MLA chain.
 
     latent_cache: [L, 1, P, ps, W]; block_ids: optional [L, 1, P] int32
     latent-page cluster ids for centroid-sparse MLA (cfg.num_centroids).
+    ``reduce``: tensor-parallel reduction seam (see llama.decode_step).
     Returns (logits [B, V], new cache).
     """
-    from ..ops.cent_select import cent_select
-
-    b = token_ids.shape[0]
-    pos = seq_lens.astype(jnp.int32) - 1
+    reduce = reduce or (lambda t: t)
     x = params["embed"][token_ids].astype(cfg.dtype)
-    width = cfg.record_width
     # full [L, 1, P, ps, W] cache written/read in place at each layer
     # index (models.llama.decode_step rationale: no per-step pool copies)
     for li, lp in enumerate(params["layers"]):
-        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
-        latent_cache = mla_ops.write_latent_rows(
-            latent_cache, row, block_table[:b], pos,
-            page_size=cfg.page_size, layer_idx=li)
-        positions = position_lens = None
-        if cfg.num_centroids and block_ids is not None:
-            # centroid-sparse MLA: selection runs in RECORD space — the
-            # absorbed query already scores rows by q_eff · record, so
-            # the codebook lives there too; the GQA-group analog of
-            # kv_group mode is the mean absorbed query (all heads share
-            # the one latent stream)
-            q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
-                                             width=width)
-            q_sel = jnp.mean(q_eff, axis=1, keepdims=True)   # [B, 1, W]
-            positions, plen, _ = cent_select(
-                q_sel, lp["l1_cent"], block_ids[li], block_table[:b],
-                seq_lens, k=cfg.top_k_clusters, block_size=cfg.page_size,
-                max_page_num=cfg.max_page_num,
-                workload_cap_ratio=cfg.workload_cap_ratio,
-                group_mode="per_qhead")
-            position_lens = plen[..., 0]
-        attn = mla_ops.mla_attention(
-            q_nope, q_pe, latent_cache, block_table[:b], seq_lens,
-            lp["w_uk"], lp["w_uv"], positions=positions,
-            position_lens=position_lens, sm_scale=cfg.sm_scale,
-            page_size=cfg.page_size, layer_idx=li)
-        attn = attn.reshape(b, -1).astype(cfg.dtype)
-        x = x + _mm(attn, lp["wo"]).astype(cfg.dtype)
-        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
+        lbi = block_ids[li] if block_ids is not None else None
+        x, latent_cache = _decode_layer(cfg, lp, x, latent_cache,
+                                        block_table, seq_lens, lbi, li,
+                                        reduce, ep_axis=ep_axis)
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     return logits, latent_cache
 
 
-def make_decode_fn(cfg: DeepSeekConfig):
+def stack_layer_params(params):
+    """Stack the per-layer param list leaf-wise (llama.stack_layer_params
+    for the DeepSeek pytree — all layers share one structure)."""
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**params, "layers": stacked}
+
+
+def _num_layers_of(stacked_layers):
+    return jax.tree.leaves(stacked_layers)[0].shape[0]
+
+
+def decode_step_scan(cfg: DeepSeekConfig, params_stacked, token_ids,
+                     latent_cache, block_table, seq_lens, block_ids=None,
+                     reduce=None, ep_axis=None):
+    """:func:`decode_step` with the layer loop as ``lax.scan``.
+
+    Identical numerics, O(1)-in-depth HLO — the fix for DeepSeek-V3-scale
+    depth (61 layers) that llama.decode_step_scan provides for Llama
+    (reference MLA scaffold: incre_flash_attention_tiling_mla.h:27-79).
+    ``params_stacked`` from :func:`stack_layer_params`; the cache is scan
+    CARRY, scattered/read at each layer index in place.
+    """
+    reduce = reduce or (lambda t: t)
+    x = params_stacked["embed"][token_ids].astype(cfg.dtype)
+    num_layers = _num_layers_of(params_stacked["layers"])
+    idxs = jnp.arange(num_layers, dtype=jnp.int32)
+    use_sparse = cfg.num_centroids and block_ids is not None
+    xs = ((params_stacked["layers"], idxs, block_ids) if use_sparse
+          else (params_stacked["layers"], idxs))
+
+    def body(carry, per_layer):
+        x, cache = carry
+        if use_sparse:
+            lp, li, lbi = per_layer
+        else:
+            (lp, li), lbi = per_layer, None
+        x, cache = _decode_layer(cfg, lp, x, cache, block_table,
+                                 seq_lens, lbi, li, reduce,
+                                 ep_axis=ep_axis)
+        return (x, cache), None
+
+    (x, new_cache), _ = jax.lax.scan(body, (x, latent_cache), xs)
+    x = rms_norm(x, params_stacked["ln_f"], cfg.rms_eps)
+    logits = _mm(x, params_stacked["lm_head"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_decode_fn(cfg: DeepSeekConfig, scan_layers: bool = False):
     import functools
+
+    step = decode_step_scan if scan_layers else decode_step
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def fn(params, token_ids, latent_cache, block_table, seq_lens,
            block_ids=None):
-        return decode_step(cfg, params, token_ids, latent_cache,
-                           block_table, seq_lens, block_ids)
+        return step(cfg, params, token_ids, latent_cache,
+                    block_table, seq_lens, block_ids)
     return fn
 
 
-def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
-                       block_table, start_pos, valid_lens=None):
-    """Process a chunk of T prompt tokens through every layer at once.
-
-    The MLA analog of llama.prefill_chunk_step: absorbed causal latent
-    attention (ops.mla.mla_prefill_attention) over the shared paged
-    latent cache.  Same contract: token_ids [B, T], start_pos [B],
-    valid_lens [B] (0 = inactive lane); returns (last-valid-token logits
-    [B, V], new cache).
-    """
-    b, t = token_ids.shape
-    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
-    x = params["embed"][token_ids].astype(cfg.dtype)           # [B, T, H]
+def _prefill_layer(cfg: DeepSeekConfig, lp, x, latent_cache, block_table,
+                   start_pos, valid_lens, pos, layer_idx, reduce,
+                   ep_axis=None):
+    """One MLA decoder layer over a prefill chunk.  x: [B, T, hidden]."""
+    b, t = x.shape[:2]
     width = cfg.record_width
-    for li, lp in enumerate(params["layers"]):
-        h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
-        q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
-        latent_cache = mla_ops.write_latent_chunk(
-            latent_cache, row, block_table[:b], start_pos,
-            page_size=cfg.page_size, valid_lens=valid_lens, layer_idx=li)
-        q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
-                                         width=width)
-        o_lat = mla_ops.mla_prefill_attention(
-            q_eff, latent_cache, block_table[:b], start_pos,
-            d_v=cfg.kv_lora_rank, sm_scale=cfg.sm_scale,
-            page_size=cfg.page_size, layer_idx=li)        # [B, T, H, c]
-        attn = jnp.einsum("bthc,hcd->bthd", o_lat,
-                          lp["w_uv"].astype(jnp.float32))
-        attn = attn.reshape(b, t, -1).astype(cfg.dtype)
-        x = x + _mm(attn, lp["wo"]).astype(cfg.dtype)
-        h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
-        x = x + _mlp(cfg, lp, h).astype(cfg.dtype)
+    h = rms_norm(x, lp["ln_attn"], cfg.rms_eps)
+    q_nope, q_pe, row = _mla_qkv(cfg, lp, h, pos)
+    latent_cache = mla_ops.write_latent_chunk(
+        latent_cache, row, block_table[:b], start_pos,
+        page_size=cfg.page_size, valid_lens=valid_lens,
+        layer_idx=layer_idx)
+    q_eff = mla_ops.absorbed_queries(q_nope, q_pe, lp["w_uk"],
+                                     width=width)
+    o_lat = mla_ops.mla_prefill_attention(
+        q_eff, latent_cache, block_table[:b], start_pos,
+        d_v=cfg.kv_lora_rank, sm_scale=cfg.sm_scale,
+        page_size=cfg.page_size, layer_idx=layer_idx)     # [B, T, H, c]
+    attn = jnp.einsum("bthc,hcd->bthd", o_lat,
+                      lp["w_uv"].astype(jnp.float32))
+    attn = attn.reshape(b, t, -1).astype(cfg.dtype)
+    x = x + reduce(_mm(attn, lp["wo"])).astype(cfg.dtype)
+    h = rms_norm(x, lp["ln_mlp"], cfg.rms_eps)
+    if cfg.num_experts:
+        x = x + _mlp(cfg, lp, h, ep_axis=ep_axis).astype(cfg.dtype)
+    else:
+        x = x + reduce(_mlp(cfg, lp, h)).astype(cfg.dtype)
+    return x, latent_cache
+
+
+def _last_valid_logits(cfg, params, x, valid_lens):
+    t = x.shape[1]
     if valid_lens is None:
         last = x[:, -1]
     else:
         idx = jnp.clip(valid_lens.astype(jnp.int32) - 1, 0, t - 1)
         last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, params["ln_f"], cfg.rms_eps)
-    logits = _mm(last, params["lm_head"]).astype(jnp.float32)
-    return logits, latent_cache
+    return _mm(last, params["lm_head"]).astype(jnp.float32)
 
 
-def make_prefill_fn(cfg: DeepSeekConfig):
+def prefill_chunk_step(cfg: DeepSeekConfig, params, token_ids, latent_cache,
+                       block_table, start_pos, valid_lens=None,
+                       reduce=None, ep_axis=None):
+    """Process a chunk of T prompt tokens through every layer at once.
+
+    The MLA analog of llama.prefill_chunk_step: absorbed causal latent
+    attention (ops.mla.mla_prefill_attention) over the shared paged
+    latent cache.  Same contract: token_ids [B, T], start_pos [B],
+    valid_lens [B] (0 = inactive lane); returns (last-valid-token logits
+    [B, V], new cache).  ``reduce``: see :func:`decode_step`.
+    """
+    reduce = reduce or (lambda t: t)
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(
+        token_ids.shape[1])[None, :]
+    x = params["embed"][token_ids].astype(cfg.dtype)           # [B, T, H]
+    for li, lp in enumerate(params["layers"]):
+        x, latent_cache = _prefill_layer(cfg, lp, x, latent_cache,
+                                         block_table, start_pos,
+                                         valid_lens, pos, li, reduce,
+                                         ep_axis=ep_axis)
+    return _last_valid_logits(cfg, params, x, valid_lens), latent_cache
+
+
+def prefill_chunk_step_scan(cfg: DeepSeekConfig, params_stacked, token_ids,
+                            latent_cache, block_table, start_pos,
+                            valid_lens=None, reduce=None, ep_axis=None):
+    """:func:`prefill_chunk_step` with the layer loop as ``lax.scan``
+    (stacked params from :func:`stack_layer_params`) — identical
+    numerics, O(1)-in-depth program size."""
+    reduce = reduce or (lambda t: t)
+    pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(
+        token_ids.shape[1])[None, :]
+    x = params_stacked["embed"][token_ids].astype(cfg.dtype)
+    num_layers = _num_layers_of(params_stacked["layers"])
+    idxs = jnp.arange(num_layers, dtype=jnp.int32)
+
+    def body(carry, per_layer):
+        x, cache = carry
+        lp, li = per_layer
+        x, cache = _prefill_layer(cfg, lp, x, cache, block_table,
+                                  start_pos, valid_lens, pos, li, reduce,
+                                  ep_axis=ep_axis)
+        return (x, cache), None
+
+    (x, new_cache), _ = jax.lax.scan(body, (x, latent_cache),
+                                     (params_stacked["layers"], idxs))
+    return (_last_valid_logits(cfg, params_stacked, x, valid_lens),
+            new_cache)
+
+
+def make_prefill_fn(cfg: DeepSeekConfig, scan_layers: bool = False):
     import functools
+
+    step = prefill_chunk_step_scan if scan_layers else prefill_chunk_step
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def fn(params, token_ids, latent_cache, block_table, start_pos,
            valid_lens):
-        return prefill_chunk_step(cfg, params, token_ids, latent_cache,
-                                  block_table, start_pos, valid_lens)
+        return step(cfg, params, token_ids, latent_cache,
+                    block_table, start_pos, valid_lens)
     return fn

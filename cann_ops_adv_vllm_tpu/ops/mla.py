@@ -206,7 +206,7 @@ def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
     q32 = q_eff.astype(jnp.float32)
     q_pos = start_pos[:, None].astype(jnp.int32) + jnp.arange(t)[None, :]
 
-    def body(carry, blk):
+    def body(blk, carry):
         m, l, acc = carry
         slots = blk * kv_block_pages + jnp.arange(kv_block_pages)
         pids = jnp.take_along_axis(
@@ -232,13 +232,19 @@ def mla_prefill_attention(q_eff, latent_pages, block_table, start_pos, *,
         acc_new = (acc * scale[..., None]
                    + jnp.einsum("bhtk,bkc->bhtc", p, rows[..., :d_v],
                                 preferred_element_type=jnp.float32))
-        return (m_new, l_new, acc_new), None
+        return (m_new, l_new, acc_new)
 
     m0 = jnp.full((b, h, t), MASK_VALUE, jnp.float32)
     l0 = jnp.zeros((b, h, t), jnp.float32)
     a0 = jnp.zeros((b, h, t, d_v), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
-                                  jnp.arange(n_blocks))
+    # only blocks overlapping the causal window hold attendable tokens —
+    # chunk c then touches ~c page blocks instead of max_page, making
+    # chunked prefill triangular in total work (the same bound as
+    # ops.prefill.paged_prefill_attention:195-206; a 128K-table DeepSeek
+    # prefill otherwise pays O(max_page) per chunk from token 0)
+    hi_pos = jnp.max(start_pos.astype(jnp.int32)) + t      # 1 past last q
+    blk_hi = jnp.minimum((hi_pos + bk - 1) // bk, n_blocks)
+    m, l, acc = jax.lax.fori_loop(0, blk_hi, body, (m0, l0, a0))
     out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
     return out.transpose(0, 2, 1, 3)                         # [B, T, H, dv]
 

@@ -88,6 +88,74 @@ def param_specs(num_layers: int, sparse: bool, stacked: bool = False,
     }
 
 
+_DS_WEIGHT_KEYS = ("wq", "w_dq", "w_uq", "w_dkv", "wo",
+                   "w_gate", "w_up", "w_down", "lm_head")
+
+
+def deepseek_param_specs(cfg, num_layers: int, stacked: bool = False,
+                         quantized: bool = False) -> dict:
+    """PartitionSpecs for the DeepSeek parameter pytree.
+
+    MLA tensor parallelism shards the QUERY heads over ``tp`` (wq/w_uq
+    columns, w_uk/w_uv head axis, wo rows → psum) while the shared latent
+    stream (w_dkv, kv_ln, the record-space codebook, the latent cache)
+    replicates over tp — the latent row is identical on every shard, so
+    attention needs no collective beyond the o-proj psum.  MoE expert
+    tables shard over ``ep`` (models.deepseek._moe ep_axis); router and
+    shared experts replicate.
+    """
+    layer = {
+        "w_dkv": P(None, None),
+        "kv_ln": P(None),
+        "w_uk": P("tp", None, None),
+        "w_uv": P("tp", None, None),
+        "wo": P("tp", None),       # rows = heads → psum after
+        "ln_attn": P(None),
+        "ln_mlp": P(None),
+    }
+    if cfg.q_lora_rank:
+        layer["w_dq"] = P(None, None)
+        layer["q_ln"] = P(None)
+        layer["w_uq"] = P(None, "tp")
+    else:
+        layer["wq"] = P(None, "tp")
+    if cfg.num_centroids:
+        layer["l1_cent"] = P(None, None, None)   # record-space, shared
+    if cfg.num_experts:
+        expert = P("ep", None, None)
+        layer.update({"router": P(None, None), "e_gate": expert,
+                      "e_up": expert, "e_down": expert})
+        if cfg.n_shared_experts:
+            layer.update({"s_gate": P(None, None), "s_up": P(None, None),
+                          "s_down": P(None, None)})
+    else:
+        layer.update({"w_gate": P(None, "tp"), "w_up": P(None, "tp"),
+                      "w_down": P("tp", None)})
+    if stacked:
+        layer = {k: P(None, *s) for k, s in layer.items()}
+    if quantized:
+        layer = {k: (_qspec(s) if k in _DS_WEIGHT_KEYS else s)
+                 for k, s in layer.items()}
+    layers = layer if stacked else [dict(layer)
+                                    for _ in range(num_layers)]
+    lm_head = P(None, None)
+    return {
+        "embed": P(None, None),
+        "layers": layers,
+        "ln_f": P(None),
+        "lm_head": _qspec(lm_head) if quantized else lm_head,
+    }
+
+
+def latent_cache_spec() -> P:
+    """DeepSeek latent cache [L, 1, P, ps, W]: the shared-stream head axis
+    cannot shard; the page pool shards over (sp, dp) exactly as the Llama
+    pool (each dp replica owns a private contiguous slice with local
+    block-table ids), and every tp shard holds a full replica of the
+    (small) latent pages — each writes identical rows."""
+    return P(None, None, ("sp", "dp"), None, None)
+
+
 def kv_cache_spec() -> P:
     """[L, H_kv, P, ps, 2D]: heads over tp, page pool over (sp, dp).
 

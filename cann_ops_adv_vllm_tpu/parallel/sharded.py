@@ -129,6 +129,102 @@ def tp_prefill_step(cfg: llama.LlamaConfig, mesh, scan_layers: bool = False,
     return jax.jit(step, donate_argnums=(2,))
 
 
+# --- DeepSeek / MLA tensor-parallel steps -----------------------------------
+
+def _local_deepseek_cfg(cfg, mesh):
+    tp = mesh.shape["tp"]
+    ep = mesh.shape.get("ep", 1)
+    if cfg.num_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide num_heads={cfg.num_heads}")
+    if cfg.num_experts and cfg.num_experts % ep:
+        raise ValueError(
+            f"ep={ep} must divide num_experts={cfg.num_experts}")
+    return dataclasses.replace(cfg, num_heads=cfg.num_heads // tp)
+
+
+def _deepseek_specs(cfg, mesh, scan_layers, quantized_weights):
+    from .mesh import deepseek_param_specs, latent_cache_spec
+    del mesh
+    pspecs = deepseek_param_specs(cfg, cfg.num_layers, stacked=scan_layers,
+                                  quantized=quantized_weights)
+    bids_spec = (P(None, None, "dp") if cfg.num_centroids else P())
+    return pspecs, bids_spec, latent_cache_spec()
+
+
+def tp_decode_step_deepseek(cfg, mesh, scan_layers: bool = False,
+                            quantized_weights: bool = False):
+    """DeepSeek/MLA tensor-parallel decode step over mesh axes (dp, tp,
+    ep).
+
+    Query heads shard over ``tp`` (the per-shard model is just a
+    narrower DeepSeek — num_heads/tp — with the shared latent stream
+    replicated, so every shard writes identical latent rows and the only
+    tp collectives are the o-proj / down-proj psums); MoE expert tables
+    shard over ``ep`` with the in-layer psum of models.deepseek._moe.
+    The batch, block tables and latent page pool shard over ``dp``
+    (private per-replica pools, local page ids — mesh.latent_cache_spec).
+    """
+    from ..models import deepseek
+    local_cfg = _local_deepseek_cfg(cfg, mesh)
+    pspecs, bids_spec, cspec = _deepseek_specs(
+        cfg, mesh, scan_layers, quantized_weights)
+    ep_axis = "ep" if cfg.num_experts else None
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(pspecs, P("dp"), cspec, P("dp", None),
+                  P("dp"), bids_spec),
+        out_specs=(P("dp"), cspec),
+        check_vma=False,
+    )
+    def step(params, tokens, cache, block_table, seq_lens, block_ids):
+        fn = (deepseek.decode_step_scan if scan_layers
+              else deepseek.decode_step)
+        bids = block_ids if local_cfg.num_centroids else None
+        return fn(local_cfg, params, tokens, cache, block_table,
+                  seq_lens, bids, reduce=lambda t: _psum_if(t, "tp"),
+                  ep_axis=ep_axis)
+
+    def wrapped(params, tokens, cache, block_table, seq_lens,
+                block_ids=None):
+        if block_ids is None:
+            block_ids = jnp.zeros((), jnp.int32)
+        return step(params, tokens, cache, block_table, seq_lens,
+                    block_ids)
+
+    return jax.jit(wrapped, donate_argnums=(2,))
+
+
+def tp_prefill_step_deepseek(cfg, mesh, scan_layers: bool = False,
+                             quantized_weights: bool = False):
+    """DeepSeek/MLA tensor-parallel chunked-prefill step (dp × tp × ep);
+    the dp/tp/ep layout of :func:`tp_decode_step_deepseek` applied to
+    deepseek.prefill_chunk_step."""
+    from ..models import deepseek
+    local_cfg = _local_deepseek_cfg(cfg, mesh)
+    pspecs, _, cspec = _deepseek_specs(
+        cfg, mesh, scan_layers, quantized_weights)
+    ep_axis = "ep" if cfg.num_experts else None
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(pspecs, P("dp", None), cspec, P("dp", None),
+                  P("dp"), P("dp")),
+        out_specs=(P("dp"), cspec),
+        check_vma=False,
+    )
+    def step(params, token_ids, cache, block_table, start_pos,
+             valid_lens):
+        fn = (deepseek.prefill_chunk_step_scan if scan_layers
+              else deepseek.prefill_chunk_step)
+        return fn(local_cfg, params, token_ids, cache, block_table,
+                  start_pos, valid_lens,
+                  reduce=lambda t: _psum_if(t, "tp"), ep_axis=ep_axis)
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
 # --- sequence-parallel sparse attention -------------------------------------
 
 def _local_positions(positions, position_lens, block_table, sp_idx, sp_size):

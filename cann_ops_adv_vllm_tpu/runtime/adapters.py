@@ -24,8 +24,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..models import deepseek, llama
+
+
+def _first_layer(params):
+    layers = params["layers"]
+    return layers[0] if isinstance(layers, list) else layers
+
+
+def _stacked_num_layers(params):
+    if isinstance(params["layers"], list):
+        return len(params["layers"])
+    return jax.tree.leaves(params["layers"])[0].shape[0]
 
 
 class LlamaAdapter:
@@ -65,6 +77,39 @@ class LlamaAdapter:
                 kv_cache["kv"], kv_cache["ts"], cents)
         return jax.vmap(assign_pages)(kv_cache, cents)
 
+    # -- mesh-sharded serving hooks (ShardedDecodeEngine) --------------------
+
+    def is_quantized(self, params):
+        return isinstance(_first_layer(params)["wq"], dict)
+
+    def param_specs(self, params):
+        from ..parallel.mesh import param_specs
+        return param_specs(
+            _stacked_num_layers(params),
+            sparse=bool(self.cfg.num_centroids),
+            stacked=not isinstance(params["layers"], list),
+            quantized=self.is_quantized(params))
+
+    def cache_spec(self):
+        from ..parallel.mesh import cache_specs
+        return cache_specs(self.cfg.kv_cache_dtype == "int8")
+
+    def block_ids_spec(self):
+        return P(None, "tp", "dp")
+
+    def cents_spec(self):
+        return P(None, "tp", None, None)
+
+    def make_tp_decode_fn(self, mesh, scan_layers, quantized_weights):
+        from ..parallel.sharded import tp_decode_step
+        return tp_decode_step(self.cfg, mesh, scan_layers=scan_layers,
+                              quantized_weights=quantized_weights)
+
+    def make_tp_prefill_fn(self, mesh, scan_layers, quantized_weights):
+        from ..parallel.sharded import tp_prefill_step
+        return tp_prefill_step(self.cfg, mesh, scan_layers=scan_layers,
+                               quantized_weights=quantized_weights)
+
 
 class DeepSeekAdapter:
     """DeepSeek-family binding (MLA shared-latent cache + MoE).
@@ -80,26 +125,25 @@ class DeepSeekAdapter:
         self.cfg = cfg
 
     def prepare_params(self, params, scan_layers):
-        if scan_layers:
-            raise NotImplementedError(
-                "DeepSeek scan-over-layers serving is not wired yet")
+        if scan_layers and isinstance(params["layers"], list):
+            return deepseek.stack_layer_params(params)
         return params
 
     def init_cache(self, num_pages):
         return deepseek.init_latent_cache(self.cfg, num_pages)
 
     def make_decode_fn(self, scan_layers):
-        del scan_layers
-        return deepseek.make_decode_fn(self.cfg)
+        return deepseek.make_decode_fn(self.cfg, scan_layers=scan_layers)
 
     def make_prefill_fn(self, scan_layers):
-        del scan_layers
-        return deepseek.make_prefill_fn(self.cfg)
+        return deepseek.make_prefill_fn(self.cfg, scan_layers=scan_layers)
 
     def extract_cents(self, params):
         layers = params["layers"]
         if isinstance(layers, list) and "l1_cent" in layers[0]:
             return jnp.stack([lp["l1_cent"] for lp in layers])
+        if isinstance(layers, dict) and "l1_cent" in layers:
+            return layers["l1_cent"]            # already [L, 1, C, W]
         return None
 
     def assign_block_ids(self, cache, cents):
@@ -108,3 +152,37 @@ class DeepSeekAdapter:
         # row as "K"
         from ..ops.clustering import assign_pages
         return jax.vmap(assign_pages)(cache, cents)
+
+    # -- mesh-sharded serving hooks (ShardedDecodeEngine) --------------------
+
+    def is_quantized(self, params):
+        return isinstance(_first_layer(params)["w_dkv"], dict)
+
+    def param_specs(self, params):
+        from ..parallel.mesh import deepseek_param_specs
+        return deepseek_param_specs(
+            self.cfg, _stacked_num_layers(params),
+            stacked=not isinstance(params["layers"], list),
+            quantized=self.is_quantized(params))
+
+    def cache_spec(self):
+        from ..parallel.mesh import latent_cache_spec
+        return latent_cache_spec()
+
+    def block_ids_spec(self):
+        return P(None, None, "dp")
+
+    def cents_spec(self):
+        return P(None, None, None, None)      # record-space, replicated
+
+    def make_tp_decode_fn(self, mesh, scan_layers, quantized_weights):
+        from ..parallel.sharded import tp_decode_step_deepseek
+        return tp_decode_step_deepseek(
+            self.cfg, mesh, scan_layers=scan_layers,
+            quantized_weights=quantized_weights)
+
+    def make_tp_prefill_fn(self, mesh, scan_layers, quantized_weights):
+        from ..parallel.sharded import tp_prefill_step_deepseek
+        return tp_prefill_step_deepseek(
+            self.cfg, mesh, scan_layers=scan_layers,
+            quantized_weights=quantized_weights)

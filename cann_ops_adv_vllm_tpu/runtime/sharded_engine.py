@@ -39,9 +39,6 @@ import numpy as np
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models import llama
-from ..parallel.mesh import kv_cache_spec, shard_params_global, ts_spec
-from ..parallel.sharded import tp_decode_step, tp_prefill_step
 from . import sampling
 from .allocator import PageAllocator
 from .engine import DecodeEngine, Request  # noqa: F401  (re-export)
@@ -113,11 +110,11 @@ class ShardedDecodeEngine(DecodeEngine):
                         process); sharded internally.
     """
 
-    def __init__(self, cfg: llama.LlamaConfig, params, pages_per_replica:
+    def __init__(self, cfg, params, pages_per_replica:
                  int, mesh, *, max_batch: int = 8, max_page=None,
                  sample_fn=None, seed: int = 0, prefill_chunk=None,
                  log_interval: int = 0, centroid_refresh_interval: int = 32,
-                 scan_layers: bool = False):
+                 scan_layers: bool = False, adapter=None):
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
         self.tp = mesh.shape["tp"]
@@ -133,9 +130,10 @@ class ShardedDecodeEngine(DecodeEngine):
         self.global_batch = max_batch * self.nproc
         self._lane_offset = jax.process_index() * max_batch
         self._seed0 = seed
-        self._quantized_weights = isinstance(
-            (params["layers"][0] if isinstance(params["layers"], list)
-             else params["layers"])["wq"], dict)
+        if adapter is None:
+            from .adapters import LlamaAdapter
+            adapter = LlamaAdapter(cfg)
+        self._quantized_weights = adapter.is_quantized(params)
         self._sample_step = 0
         self._fin_agreed = False
         self._scan_layers = scan_layers
@@ -152,29 +150,30 @@ class ShardedDecodeEngine(DecodeEngine):
                          prefill_chunk=prefill_chunk,
                          log_interval=log_interval,
                          centroid_refresh_interval=centroid_refresh_interval,
-                         scan_layers=scan_layers)
+                         scan_layers=scan_layers, adapter=adapter)
         # re-shard params globally (base stacked them host-side if scan)
-        self.params = shard_params_global(
-            self.params, mesh, sparse=bool(cfg.num_centroids))
+        self.params = self._shard_params_global(self.params)
         if self._cents is not None:
             self._cents = jax.make_array_from_process_local_data(
-                NamedSharding(mesh, P(None, "tp", None, None)),
+                NamedSharding(mesh, self.adapter.cents_spec()),
                 np.asarray(self._cents))
-            bids_sh = NamedSharding(mesh, P(None, "tp", "dp"))
-            if cfg.kv_cache_dtype == "int8":
-                from ..ops.clustering import assign_pages_quantized
-                self._refresh_jit = jax.jit(
-                    lambda kv, cents: jax.vmap(assign_pages_quantized)(
-                        kv["kv"], kv["ts"], cents),
-                    out_shardings=bids_sh)
-            else:
-                from ..ops.clustering import assign_pages
-                self._refresh_jit = jax.jit(
-                    lambda kv, cents: jax.vmap(assign_pages)(kv, cents),
-                    out_shardings=bids_sh)
+            bids_sh = NamedSharding(mesh, self.adapter.block_ids_spec())
+            self._refresh_jit = jax.jit(self.adapter.assign_block_ids,
+                                        out_shardings=bids_sh)
         self._sampler_jit = jax.jit(self._sampler_body)
 
     # -- builders ------------------------------------------------------------
+
+    def _shard_params_global(self, params):
+        """Per-process host params → global arrays under the adapter's
+        PartitionSpecs (every process holds identical host params —
+        parallel.mesh.shard_params_global rationale)."""
+        specs = self.adapter.param_specs(params)
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, s), np.asarray(x)),
+            params, specs,
+            is_leaf=lambda x: not isinstance(x, (dict, list)))
 
     def _build_allocator(self, pages_per_replica: int):
         return _ReplicaPools(self.dp_local, pages_per_replica,
@@ -187,37 +186,31 @@ class ShardedDecodeEngine(DecodeEngine):
             shape, sh, lambda idx: np.zeros(shard_shape, dtype))
 
     def _build_kv_cache(self, pages_per_replica: int):
-        cfg = self.cfg
+        # the adapter defines the cache pytree (shapes/dtypes); its specs
+        # shard the global pool (pages_per_replica × dp) over the mesh
         pool = pages_per_replica * self.dp
-        if cfg.kv_cache_dtype == "int8":
-            return {
-                "kv": self._zeros_global(
-                    (cfg.num_layers, cfg.num_kv_heads, pool,
-                     cfg.page_size, 2 * cfg.head_dim), np.int8,
-                    kv_cache_spec()),
-                "ts": self._zeros_global(
-                    (cfg.num_layers, cfg.num_kv_heads, 4, pool,
-                     cfg.page_size), np.float32, ts_spec()),
-            }
-        return self._zeros_global(
-            (cfg.num_layers, cfg.num_kv_heads, pool, cfg.page_size,
-             2 * cfg.head_dim), np.dtype(cfg.dtype), kv_cache_spec())
+        shapes = jax.eval_shape(lambda: self.adapter.init_cache(pool))
+        flat_sh, treedef = jax.tree.flatten(shapes)
+        flat_sp = treedef.flatten_up_to(self.adapter.cache_spec())
+        flat = [self._zeros_global(sh.shape, np.dtype(sh.dtype), sp)
+                for sh, sp in zip(flat_sh, flat_sp)]
+        return jax.tree.unflatten(treedef, flat)
 
     def _build_block_ids(self, pages_per_replica: int):
         if not self.cfg.num_centroids:
             return None
         return self._zeros_global(
             (self.cfg.num_layers, self.cfg.num_kv_heads,
-             pages_per_replica * self.dp), np.int32, P(None, "tp", "dp"))
+             pages_per_replica * self.dp), np.int32,
+            self.adapter.block_ids_spec())
 
     def _build_decode_fn(self, scan_layers: bool):
-        return tp_decode_step(self.cfg, self.mesh, scan_layers=scan_layers,
-                              quantized_weights=self._quantized_weights)
+        return self.adapter.make_tp_decode_fn(
+            self.mesh, scan_layers, self._quantized_weights)
 
     def _build_prefill_fn(self, scan_layers: bool):
-        return tp_prefill_step(self.cfg, self.mesh,
-                               scan_layers=scan_layers,
-                               quantized_weights=self._quantized_weights)
+        return self.adapter.make_tp_prefill_fn(
+            self.mesh, scan_layers, self._quantized_weights)
 
     # -- device boundary -----------------------------------------------------
 

@@ -111,3 +111,70 @@ def test_sharded_engine_quantized_weights():
                      prefill_chunk=PS),
         _requests(3, np.random.default_rng(8), [11, 25], max_new=4))
     assert got == want
+
+
+def test_sharded_engine_deepseek():
+    """DeepSeek/MLA (+MoE) through the sharded engine: dp×tp×ep
+    continuous batching == the plain DeepSeek engine token-for-token
+    (greedy, fp32) — q-heads over tp, latent stream replicated, expert
+    tables over ep (models.deepseek._moe ep psum)."""
+    from cann_ops_adv_vllm_tpu.models import deepseek
+    from cann_ops_adv_vllm_tpu.runtime.adapters import DeepSeekAdapter
+
+    cfg = dataclasses.replace(deepseek.TINY_DEEPSEEK_MOE, num_layers=2,
+                              page_size=PS, dtype=jnp.float32,
+                              num_experts=4)
+    params = deepseek.init_params(cfg, jax.random.key(9))
+    mesh = make_mesh(dp=2, tp=2, ep=2)
+    rng_a, rng_b = np.random.default_rng(10), np.random.default_rng(10)
+
+    def reqs(rng):
+        return [Request(seq_id=i,
+                        prompt=rng.integers(1, cfg.vocab_size, n
+                                            ).astype(np.int32),
+                        max_new_tokens=4)
+                for i, n in enumerate([9, 21, 14])]
+
+    got = _run(ShardedDecodeEngine(cfg, params, pages_per_replica=24,
+                                   mesh=mesh, max_batch=2, max_page=8,
+                                   prefill_chunk=PS,
+                                   adapter=DeepSeekAdapter(cfg)),
+               reqs(rng_a))
+    want = _run(DecodeEngine(cfg, params, num_pages=48, max_batch=2,
+                             max_page=8, prefill_chunk=PS,
+                             adapter=DeepSeekAdapter(cfg)),
+               reqs(rng_b))
+    assert got == want
+    assert all(len(v) == 4 for v in got.values())
+
+
+def test_sharded_engine_deepseek_sparse_scan():
+    """Centroid-sparse DeepSeek (latent-page selection) with
+    scan-over-layers through the dp×tp sharded engine == plain engine."""
+    from cann_ops_adv_vllm_tpu.models import deepseek
+    from cann_ops_adv_vllm_tpu.runtime.adapters import DeepSeekAdapter
+
+    cfg = dataclasses.replace(deepseek.TINY_DEEPSEEK, num_layers=2,
+                              page_size=PS, dtype=jnp.float32,
+                              num_centroids=8, top_k_clusters=8,
+                              max_page_num=8, workload_cap_ratio=0)
+    params = deepseek.init_params(cfg, jax.random.key(11))
+    mesh = make_mesh(dp=2, tp=2)
+
+    def reqs(rng):
+        return [Request(seq_id=i,
+                        prompt=rng.integers(1, cfg.vocab_size, n
+                                            ).astype(np.int32),
+                        max_new_tokens=4)
+                for i, n in enumerate([8, 19])]
+
+    got = _run(ShardedDecodeEngine(cfg, params, pages_per_replica=24,
+                                   mesh=mesh, max_batch=2, max_page=8,
+                                   prefill_chunk=PS, scan_layers=True,
+                                   adapter=DeepSeekAdapter(cfg)),
+               reqs(np.random.default_rng(12)))
+    want = _run(DecodeEngine(cfg, params, num_pages=48, max_batch=2,
+                             max_page=8, prefill_chunk=PS,
+                             adapter=DeepSeekAdapter(cfg)),
+                reqs(np.random.default_rng(12)))
+    assert got == want
