@@ -106,3 +106,84 @@ def test_bf16_dlpack_roundtrip():
                                np.asarray(want, jnp.float32).reshape(
                                    out.shape),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_torch_compile_captures_registered_ops():
+    """torch.library registration (torch_ops): the fused op appears as a
+    dispatcher node inside a torch.compile'd graph (no graph break), and
+    the compiled module's outputs match eager (reference analog:
+    TORCH_LIBRARY registration.cpp:43-79, op_plugin_functions.yaml:6962).
+    """
+    from cann_ops_adv_vllm_tpu import torch_ops  # noqa: F401  (registers)
+
+    q, k, v, bt, sl, (b, h_q, h_kv, d, ps) = _setup(2)
+    rng = np.random.default_rng(2)
+    C, P = 16, k.shape[1]
+    kv = torch.tensor(np.concatenate([k.numpy(), v.numpy()], axis=3))
+    cent = torch.tensor(rng.standard_normal((h_kv, C, d)),
+                        dtype=torch.float32)
+    bids = torch.tensor(rng.integers(0, C, (h_kv, P)).astype(np.int32))
+    qb = q.reshape(b, h_q, 1, d)       # BNSD
+
+    def fn(qq, kv, bt, cent, bids, sl):
+        out, pos, ml = (
+            torch.ops.cann_ops_adv_vllm_tpu.sparse_paged_fusion_attention(
+                qq, kv, bt, cent, bids, sl, h_q, h_kv,
+                None, ps, "BNSD", C, 16, 0))
+        return out * 2.0, pos, ml
+
+    want = fn(qb, kv, bt, cent, bids, sl)
+
+    graphs = []
+
+    def backend(gm, example_inputs):
+        graphs.append(gm)
+        return gm.forward
+
+    compiled = torch.compile(fn, backend=backend, fullgraph=True)
+    got = compiled(qb, kv, bt, cent, bids, sl)
+
+    assert len(graphs) == 1
+    targets = [str(n.target) for n in graphs[0].graph.nodes
+               if n.op == "call_function"]
+    assert any("sparse_paged_fusion_attention" in t for t in targets), targets
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g.float().numpy(), w.float().numpy(),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_registered_dense_and_selection_ops():
+    """incre_flash_attention / cent_select / compute_cent through the
+    dispatcher == the function surface."""
+    from cann_ops_adv_vllm_tpu import torch_ops  # noqa: F401
+
+    q, k, v, bt, sl, (b, h_q, h_kv, d, ps) = _setup(3)
+    kv = torch.tensor(np.concatenate([k.numpy(), v.numpy()], axis=3))
+    qb = q.reshape(b, h_q, 1, d)
+    got = torch.ops.cann_ops_adv_vllm_tpu.incre_flash_attention(
+        qb, kv, bt, sl, h_q, h_kv, None, ps, "BNSD", None, None)
+    want = torch_bridge.incre_flash_attention(
+        qb, kv, num_heads=h_q, num_key_value_heads=h_kv,
+        block_table=bt, actual_seq_lengths=sl, block_size=ps,
+        input_layout="BNSD")
+    np.testing.assert_allclose(got.numpy(), want.numpy(),
+                               rtol=1e-6, atol=1e-6)
+
+    rng = np.random.default_rng(3)
+    C, P = 16, k.shape[1]
+    cent = torch.tensor(rng.standard_normal((h_kv, C, d)),
+                        dtype=torch.float32)
+    bids = torch.tensor(rng.integers(0, C, (h_kv, P)).astype(np.int32))
+    qs = q.reshape(b, h_q, d)
+    pos, lens, ml = torch.ops.cann_ops_adv_vllm_tpu.cent_select(
+        qs, cent, bids, bt, sl, 4, ps, 16, 0, "per_qhead")
+    pos2, lens2, ml2 = torch_bridge.cent_select(
+        qs, cent, bids, bt, sl, k=4, block_size=ps, max_page_num=16,
+        workload_cap_ratio=0, group_mode="per_qhead")
+    np.testing.assert_array_equal(pos.numpy(), pos2.numpy())
+    np.testing.assert_array_equal(lens.numpy(), lens2.numpy())
+    np.testing.assert_array_equal(ml.numpy(), ml2.numpy())
+
+    idx = torch.ops.cann_ops_adv_vllm_tpu.compute_cent(qs, cent, 4)
+    idx2 = torch_bridge.compute_cent(qs, cent, k=4)
+    np.testing.assert_array_equal(idx.numpy(), idx2.numpy())
