@@ -131,6 +131,59 @@ def _precompute_meta(block_table, seq_lens, positions, position_lens,
             ends.astype(jnp.int32), nblk)
 
 
+def _coalesce_runs(pids, begs, ends, ppcb, rmax):
+    """Run-length DMA descriptor plan over page lists.
+
+    The per-(head, page) gather is DMA-descriptor-rate-bound (~190 ns
+    each on v5e) at the capped k<C sparse config; when the *physical* ids
+    of adjacent selected pages are consecutive (sequence-contiguous
+    allocation + temporally-clustered selection), one descriptor can
+    fetch the whole run.  This computes a greedy power-of-two
+    decomposition — descriptor lengths {1, 2, 4, 8} capped at ``rmax`` —
+    of every maximal run of physically-consecutive valid pages, broken at
+    compute-block boundaries (each block owns its own VMEM slab).
+
+    Returns dlen [B, H, M] int32: at descriptor boundaries the number of
+    pages that descriptor fetches (the following dlen-1 entries belong to
+    it and carry 0); 0 also at invalid (empty-window) entries.
+
+    Exactness: a descriptor covers exactly the run's pages — every
+    (head, token) pair fetched/attended is unchanged vs per-page DMA.
+    """
+    b, h, m = pids.shape
+    i = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    valid = ends > begs
+    prev_valid = jnp.concatenate(
+        [jnp.zeros((b, h, 1), bool), valid[:, :, :-1]], axis=2)
+    prev_pid = jnp.concatenate(
+        [jnp.full((b, h, 1), -2, jnp.int32), pids[:, :, :-1]], axis=2)
+    run_start = valid & ((i % ppcb == 0) | ~prev_valid
+                         | (pids != prev_pid + 1))
+    start_idx = jax.lax.cummax(jnp.where(run_start, i, -1), axis=2)
+    term = (~valid) | run_start
+    t_pos = jnp.where(term, i, m)
+    suf = jax.lax.cummin(t_pos[:, :, ::-1], axis=2)[:, :, ::-1]
+    end_excl = jnp.concatenate(
+        [suf[:, :, 1:], jnp.full((b, h, 1), m, jnp.int32)], axis=2)
+    run_len = end_excl - start_idx
+    o = i - start_idx
+    # greedy decomposition: rmax-sized descriptors over the run body,
+    # then MSB-first powers of two over the tail (< rmax ≤ 8)
+    body_end = (run_len // rmax) * rmax
+    in_body = o < body_end
+    rem = run_len - body_end
+    op = o - body_end
+    tail_b = jnp.zeros_like(in_body)
+    for t in range(4):      # rem < rmax ≤ 8 → MSB-prefix sums need t ≤ 3
+        tail_b = tail_b | (op == (rem & ~((1 << t) - 1)))
+    tail_b = tail_b & (op < rem)
+    boundary = valid & jnp.where(in_body, op % rmax == 0, tail_b)
+    left = jnp.where(in_body, rmax, rem - op)
+    dlen = jnp.where(left >= 8, 8,
+                     jnp.where(left >= 4, 4, jnp.where(left >= 2, 2, 1)))
+    return jnp.where(boundary, dlen, 0).astype(jnp.int32)
+
+
 def _unpack_or_slice_kv(kvb, *, packed_int4, k_width, d_v, v_off):
     """Recover (K, V) from one VMEM record block.
 
@@ -498,6 +551,7 @@ def _slab_kernel(
     pid_ref,        # [B, H_pos, M] int32
     beg_ref,        # [B, H_pos, M] int32
     end_ref,        # [B, H_pos, M] int32
+    dlen_ref,       # [B, H_pos, M] int32 (run-descriptor plan) or None
     slotid_ref,     # [B, H_pos, M] int32 (logical slots; alibi only) or None
     qpos_ref,       # [B] int32 (query logical position; alibi only) or None
     # --- inputs ---
@@ -516,9 +570,9 @@ def _slab_kernel(
     o_ref,          # [1, H_kv, Gp, D] VMEM
     lse_ref,        # [1, H_kv, Gp, 128] VMEM (fp32) or None
     # --- scratch ---
-    kv_buf,         # [2, H_kv, ppcb*ps, 2*D] VMEM, kv dtype
+    kv_buf,         # [2, H_kv, ppcb, ps, 2*D] VMEM, kv dtype
     sem,            # DMA sems [2, 1 | H_kv, ppcb]
-    ts_buf,         # [2, H_kv, ppcb, n_rows, ps] VMEM f32 or None
+    ts_buf,         # [2, H_kv, n_rows, ppcb, ps] VMEM f32 or None
     ts_sem,         # DMA sems [2, 1 | H_kv, ppcb] or None
     m_scr,          # [H_kv, Gp, 128] f32
     l_scr,          # [H_kv, Gp, 128] f32
@@ -578,6 +632,7 @@ def _slab_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     bk = ppcb * page_size
+    width = kv_buf.shape[-1]
     shared = h_pos == 1
     # union mode (shared_pages): every head's pid row is the SAME unioned
     # page list, so the DMA side runs the one-slab-descriptor-per-page
@@ -585,8 +640,17 @@ def _slab_kernel(
     # a page a head did not select has an empty window there.  DMA
     # condition = any head's window non-empty (= page in the union).
     slab_dma = shared or shared_pages
+    coalesced = dlen_ref is not None
+    sizes = tuple(s for s in (8, 4, 2, 1) if s <= ppcb)
 
     def block_dmas(bb, ii, slot):
+        """(cond, zero_target | None, dma) triples for one block.
+
+        With ``dlen_ref`` (run coalescing), each descriptor slot j issues
+        a dlen[j]-page copy when j is a run boundary (_coalesce_runs);
+        slots inside a run issue nothing.  One size-specialized copy per
+        power of two keeps every make_async_copy shape static.
+        """
         li = layer_ref[0]
         copies = []
         for j in range(ppcb):
@@ -597,78 +661,143 @@ def _slab_kernel(
                     for h in range(1, h_kv):
                         cond = cond | (end_ref[bb, h, idx]
                                        > beg_ref[bb, h, idx])
-                copies.append((
-                    cond, (slice(None), j),
-                    pltpu.make_async_copy(
-                        kv_pages_ref.at[li, :, pid_ref[bb, 0, idx]],
-                        kv_buf.at[slot, :,
-                                  pl.ds(j * page_size, page_size), :],
-                        sem.at[slot, 0, j],
-                    ),
-                ))
-                if token_quant:
-                    # one strided descriptor fetches every head's scale
-                    # rows for this page, like the KV slab itself
+                if coalesced:
+                    dl = dlen_ref[bb, 0, idx]
+                    for sz in sizes:
+                        if j + sz > ppcb:     # impossible at runtime
+                            continue
+                        copies.append((
+                            cond & (dl == sz), None,
+                            pltpu.make_async_copy(
+                                kv_pages_ref.at[
+                                    li, :,
+                                    pl.ds(pid_ref[bb, 0, idx], sz)],
+                                kv_buf.at[slot, :, pl.ds(j, sz)],
+                                sem.at[slot, 0, j],
+                            ),
+                        ))
+                        if token_quant:
+                            copies.append((
+                                cond & (dl == sz), None,
+                                pltpu.make_async_copy(
+                                    tok_scale_ref.at[
+                                        li, :, :,
+                                        pl.ds(pid_ref[bb, 0, idx], sz)],
+                                    ts_buf.at[slot, :, :, pl.ds(j, sz)],
+                                    ts_sem.at[slot, 0, j],
+                                ),
+                            ))
+                else:
                     copies.append((
                         cond, None,
                         pltpu.make_async_copy(
-                            tok_scale_ref.at[li, :, :,
-                                             pid_ref[bb, 0, idx]],
-                            ts_buf.at[slot, :, j],
-                            ts_sem.at[slot, 0, j],
-                        ),
-                    ))
-            else:
-                for h in range(h_kv):
-                    cond = end_ref[bb, h, idx] > beg_ref[bb, h, idx]
-                    copies.append((
-                        cond, (h, j),
-                        pltpu.make_async_copy(
-                            kv_pages_ref.at[li, h, pid_ref[bb, h, idx]],
-                            kv_buf.at[slot, h,
-                                      pl.ds(j * page_size, page_size), :],
-                            sem.at[slot, h, j],
+                            kv_pages_ref.at[li, :, pid_ref[bb, 0, idx]],
+                            kv_buf.at[slot, :, j],
+                            sem.at[slot, 0, j],
                         ),
                     ))
                     if token_quant:
+                        # one strided descriptor fetches every head's
+                        # scale rows for this page, like the KV slab
                         copies.append((
                             cond, None,
                             pltpu.make_async_copy(
-                                tok_scale_ref.at[li, h, :,
-                                                 pid_ref[bb, h, idx]],
-                                ts_buf.at[slot, h, j],
-                                ts_sem.at[slot, h, j],
+                                tok_scale_ref.at[li, :, :,
+                                                 pid_ref[bb, 0, idx]],
+                                ts_buf.at[slot, :, :, j],
+                                ts_sem.at[slot, 0, j],
                             ),
                         ))
+            else:
+                for h in range(h_kv):
+                    cond = end_ref[bb, h, idx] > beg_ref[bb, h, idx]
+                    if coalesced:
+                        dl = dlen_ref[bb, h, idx]
+                        for sz in sizes:
+                            if j + sz > ppcb:  # impossible at runtime
+                                continue
+                            copies.append((
+                                cond & (dl == sz), None,
+                                pltpu.make_async_copy(
+                                    kv_pages_ref.at[
+                                        li, h,
+                                        pl.ds(pid_ref[bb, h, idx], sz)],
+                                    kv_buf.at[slot, h, pl.ds(j, sz)],
+                                    sem.at[slot, h, j],
+                                ),
+                            ))
+                            if token_quant:
+                                copies.append((
+                                    cond & (dl == sz), None,
+                                    pltpu.make_async_copy(
+                                        tok_scale_ref.at[
+                                            li, h, :,
+                                            pl.ds(pid_ref[bb, h, idx],
+                                                  sz)],
+                                        ts_buf.at[slot, h, :,
+                                                  pl.ds(j, sz)],
+                                        ts_sem.at[slot, h, j],
+                                    ),
+                                ))
+                    else:
+                        copies.append((
+                            cond, None,
+                            pltpu.make_async_copy(
+                                kv_pages_ref.at[li, h,
+                                                pid_ref[bb, h, idx]],
+                                kv_buf.at[slot, h, j],
+                                sem.at[slot, h, j],
+                            ),
+                        ))
+                        if token_quant:
+                            copies.append((
+                                cond, None,
+                                pltpu.make_async_copy(
+                                    tok_scale_ref.at[li, h, :,
+                                                     pid_ref[bb, h, idx]],
+                                    ts_buf.at[slot, h, :, j],
+                                    ts_sem.at[slot, h, j],
+                                ),
+                            ))
         return copies
 
+    def zero_skipped(bb, ii, slot):
+        """Zero pages whose window is empty inside still-active blocks —
+        they would otherwise hold NaN/inf garbage from an earlier block
+        (rare: tail slots).  Fully-inactive heads skip compute, so their
+        garbage is never read."""
+        for j in range(ppcb):
+            idx = ii * ppcb + j
+            if slab_dma:
+                cond = end_ref[bb, 0, idx] > beg_ref[bb, 0, idx]
+                if not shared:
+                    for h in range(1, h_kv):
+                        cond = cond | (end_ref[bb, h, idx]
+                                       > beg_ref[bb, h, idx])
+                zero_cond = (jnp.logical_not(cond)
+                             & (ii * ppcb < nblk_ref[bb, 0]))
+
+                @pl.when(zero_cond)
+                def _(j=j):
+                    kv_buf[slot, :, j] = jnp.zeros(
+                        (h_kv, page_size, width), kv_buf.dtype)
+            else:
+                for h in range(h_kv):
+                    cond = end_ref[bb, h, idx] > beg_ref[bb, h, idx]
+                    zero_cond = (jnp.logical_not(cond)
+                                 & (ii * ppcb < nblk_ref[bb, h]))
+
+                    @pl.when(zero_cond)
+                    def _(h=h, j=j):
+                        kv_buf[slot, h, j] = jnp.zeros(
+                            (page_size, width), kv_buf.dtype)
+
     def start_block(bb, ii, slot):
-        for cond, hj, dma in block_dmas(bb, ii, slot):
+        for cond, _, dma in block_dmas(bb, ii, slot):
             @pl.when(cond)
             def _():
                 dma.start()
-
-            if hj is None:
-                continue
-            h, j = hj
-            # a skipped page inside a still-active block would leave
-            # NaN/inf garbage from an earlier block in the buffer; zero it
-            # (rare: tail slots).  Fully-inactive heads skip compute, so
-            # their garbage is never read.
-            hp = 0 if slab_dma else h
-            zero_cond = (jnp.logical_not(cond)
-                         & (ii * ppcb < nblk_ref[bb, hp]))
-
-            @pl.when(zero_cond)
-            def _():
-                if slab_dma:
-                    kv_buf[slot, :, pl.ds(j * page_size, page_size), :] = (
-                        jnp.zeros((h_kv, page_size, kv_buf.shape[3]),
-                                  kv_buf.dtype))
-                else:
-                    kv_buf[slot, h, pl.ds(j * page_size, page_size), :] = (
-                        jnp.zeros((page_size, kv_buf.shape[3]),
-                                  kv_buf.dtype))
+        zero_skipped(bb, ii, slot)
 
     def wait_block(bb, ii, slot):
         for cond, _, dma in block_dmas(bb, ii, slot):
@@ -739,7 +868,7 @@ def _slab_kernel(
             def _(h=h, hp=hp):
                 col_valid, pos_c = (shared_mask if shared
                                     else col_mask(hp))
-                kvb = kv_buf[slot, h]              # [bk, W], kv dtype
+                kvb = kv_buf[slot, h].reshape(bk, width)   # kv dtype
                 k, v = _unpack_or_slice_kv(
                     kvb, packed_int4=packed_int4, k_width=k_width,
                     d_v=d_v, v_off=v_off)
@@ -757,7 +886,7 @@ def _slab_kernel(
                                  else None),
                     v_offset_row=(v_offset_ref[h:h + 1, :] if quantized
                                   else None),
-                    ts_page=((lambda j: ts_buf[slot, h, j])
+                    ts_page=((lambda j: ts_buf[slot, h, :, j])
                              if token_quant else None),
                     seg_window=(lambda j: (beg_ref[b, hp, i * ppcb + j],
                                            end_ref[b, hp, i * ppcb + j])),
@@ -804,7 +933,7 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
                dims=None, packed_int4=False, tok_scales=None, bias=None,
                slopes=None, slot_pad=None, qpos=None,
                k_token=False, v_token=False, layer_idx=None,
-               shared_pages=False):
+               shared_pages=False, coalesce=False):
     """Build + run the all-heads-per-step pallas_call (H_pos ∈ {1, H_kv}).
 
     ``dims=(k_width, d_v, v_off)`` sets the record geometry (default: the
@@ -846,6 +975,13 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         if slot_pad is not None:
             slot_pad = jnp.pad(slot_pad, pad)
 
+    # run-coalescing plan (computed on the FINAL ppcb so runs never cross
+    # a compute block); union mode keeps per-page descriptors — its DMA
+    # condition is an any-head OR that the plan doesn't model
+    coalesce = coalesce and not shared_pages
+    dlen = (_coalesce_runs(pids, begs, ends, ppcb, min(8, ppcb))
+            if coalesce else None)
+
     quantized = kv_scales is not None
     if quantized:
         k_scale, k_offset, v_scale, v_offset = (
@@ -882,6 +1018,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
                             lambda bb, ii, *refs: (bb, 0, 0, 0))
 
     scalar_ops = [layer_arr, nblk, pids, begs, ends]
+    if coalesce:
+        scalar_ops.append(dlen)
     if use_alibi:
         scalar_ops += [slot_pad, qpos]
     n_scalar = len(scalar_ops)
@@ -935,6 +1073,7 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
             return vals
 
         layer_r, nblk_r, pid_r, beg_r, end_r = take(5)
+        (dlen_r,) = take(1) if coalesce else (None,)
         slotid_r, qpos_r = take(2) if use_alibi else (None, None)
         q_r, kv_r, ks_r, ko_r, vs_r, vo_r = take(6)
         (ts_r,) = take(1) if token_quant else (None,)
@@ -946,20 +1085,21 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
         kvb_r, sem_r = take(2)
         tsb_r, tss_r = take(2) if token_quant else (None, None)
         m_r, l_r, acc_r, sl_r = take(4)
-        kernel(layer_r, nblk_r, pid_r, beg_r, end_r, slotid_r, qpos_r,
+        kernel(layer_r, nblk_r, pid_r, beg_r, end_r, dlen_r, slotid_r,
+               qpos_r,
                q_r, kv_r, ks_r, ko_r, vs_r, vo_r, ts_r, bias_r, slopes_r,
                oqs_r, oqo_r, o_r, lse_r,
                kvb_r, sem_r, tsb_r, tss_r, m_r, l_r, acc_r, sl_r)
 
     sem_rows = 1 if (h_pos == 1 or shared_pages) else h_kv
     scratch_shapes = [
-        pltpu.VMEM((2, h_kv, ppcb * page_size, width), kv_pages.dtype),
+        pltpu.VMEM((2, h_kv, ppcb, page_size, width), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
     ]
     if token_quant:
         n_rows = tok_scales.shape[-3]
         scratch_shapes += [
-            pltpu.VMEM((2, h_kv, ppcb, n_rows, page_size), jnp.float32),
+            pltpu.VMEM((2, h_kv, n_rows, ppcb, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, sem_rows, ppcb)),
         ]
     scratch_shapes += [
@@ -990,7 +1130,8 @@ def _slab_call(qg, kv_pages, pids, begs, ends, nblk, *, kv_scales,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "page_size", "ppcb", "return_lse",
-                     "interpret", "kv_int4", "slab", "union_pages"),
+                     "interpret", "kv_int4", "slab", "union_pages",
+                     "coalesce"),
 )
 def paged_flash_decode(
     q,
@@ -1015,6 +1156,7 @@ def paged_flash_decode(
     slab=True,
     layer_idx=None,
     union_pages=False,
+    coalesce=None,
 ):
     """Flash-decode paged attention over (optionally) selected pages.
 
@@ -1286,6 +1428,15 @@ def paged_flash_decode(
     # the per-(head, block) `_kernel` below remains only as an explicitly
     # requested fallback (``slab=False``) for A/B comparison.
     if slab and h_pos in (1, h_kv):
+        # Run coalescing (multi-page DMA descriptors, _coalesce_runs) is
+        # OPT-IN: measured on v5e at the canonical k<C config, the extra
+        # per-slot size branches on the scalar core cost MORE than the
+        # saved descriptor issues even at 100% run fraction (0.13 →
+        # 0.18 ms; docs/evidence/coalesce_probe.jsonl) — the per-head
+        # floor is scalar-sequencing-bound, not purely
+        # descriptor-issue-bound.  Kept for A/B and for future
+        # compacted-plan variants.
+        do_coalesce = bool(coalesce)
         result = _slab_call(
             qg, kv_pages, pids, begs, ends, nblk,
             kv_scales=((k_scale, k_offset, v_scale, v_offset)
@@ -1297,7 +1448,7 @@ def paged_flash_decode(
             tok_scales=tok_scales, bias=bias_flat, slopes=slopes,
             slot_pad=slot_pad, qpos=qpos,
             k_token=k_token, v_token=v_token, layer_idx=layer_idx,
-            shared_pages=shared_pages)
+            shared_pages=shared_pages, coalesce=do_coalesce)
         if return_lse:
             out, lse = result
             out = out[:, :, :g, :].reshape(b, h_q, d)

@@ -292,7 +292,13 @@ def sparse_paged_attention_oracle(q, k_pages, v_pages, block_table,
                 slot = int(block_position[bi, hp, i])
                 page = block_table[bi, slot]
                 start = slot * block_size
+                # a selected slot past the sequence end contributes
+                # nothing (cent_select never emits one, but the kernel
+                # masks it to an empty window — a negative cnt here would
+                # silently slice from the wrong end instead)
                 cnt = min(block_size, sl - start)
+                if cnt <= 0:
+                    continue
                 keys.append(k_pages[hk, page, :cnt])
                 vals.append(v_pages[hk, page, :cnt])
             if not keys:

@@ -27,14 +27,15 @@ struct Sequence {
 class PageAllocator {
   public:
     PageAllocator(int32_t num_pages, int32_t page_size)
-        : page_size_(page_size), ref_count_(num_pages, 0) {
+        : page_size_(page_size), ref_count_(num_pages, 0),
+          is_free_(num_pages, 1), free_count_(num_pages) {
         free_list_.reserve(num_pages);
         for (int32_t p = num_pages - 1; p >= 0; --p) free_list_.push_back(p);
     }
 
     int32_t num_free() const {
         std::lock_guard<std::mutex> g(mu_);
-        return static_cast<int32_t>(free_list_.size());
+        return free_count_;
     }
 
     // Create a sequence; returns seq id or -1 if it already exists.
@@ -47,6 +48,14 @@ class PageAllocator {
 
     // Append n tokens, allocating pages as needed.
     // Returns the new token count, or -1 on out-of-pages (state unchanged).
+    //
+    // Allocation is RUN-PREFERRING: each new page first tries the
+    // physical successor of the sequence's current last page, so a
+    // sequence's block table stays physically contiguous whenever the
+    // pool allows.  Physical contiguity is what turns runs of adjacent
+    // selected pages into single multi-page DMA descriptors in the
+    // decode kernel (ops.paged_attention._coalesce_runs) — the lever
+    // against the k<C per-(head, page) descriptor floor.
     int64_t append_tokens(int64_t seq_id, int64_t n) {
         std::lock_guard<std::mutex> g(mu_);
         auto it = seqs_.find(seq_id);
@@ -56,12 +65,12 @@ class PageAllocator {
         int64_t pages_needed =
             (target + page_size_ - 1) / page_size_ -
             static_cast<int64_t>(s.block_table.size());
-        if (pages_needed > static_cast<int64_t>(free_list_.size())) return -1;
+        if (pages_needed > free_count_) return -1;
         for (int64_t i = 0; i < pages_needed; ++i) {
-            int32_t p = free_list_.back();
-            free_list_.pop_back();
-            ref_count_[p] = 1;
-            s.block_table.push_back(p);
+            int32_t want = -1;
+            if (!s.block_table.empty() && s.block_table.back() >= 0)
+                want = s.block_table.back() + 1;
+            s.block_table.push_back(take_page(want));
         }
         s.num_tokens = target;
         return target;
@@ -92,10 +101,8 @@ class PageAllocator {
         int32_t last = it->second.block_table.back();
         *src_page = last;
         if (ref_count_[last] == 1) return last;
-        if (free_list_.empty()) return -1;
-        int32_t fresh = free_list_.back();
-        free_list_.pop_back();
-        ref_count_[fresh] = 1;
+        if (free_count_ == 0) return -1;
+        int32_t fresh = take_page(-1);
         --ref_count_[last];
         it->second.block_table.back() = fresh;
         return fresh;
@@ -118,7 +125,7 @@ class PageAllocator {
         int64_t freed = 0;
         for (int64_t i = s.trimmed_slots; i < cut; ++i) {
             int32_t p = s.block_table[i];
-            if (p >= 0 && --ref_count_[p] == 0) free_list_.push_back(p);
+            if (p >= 0 && --ref_count_[p] == 0) free_page(p);
             s.block_table[i] = -1;
             ++freed;
         }
@@ -131,7 +138,7 @@ class PageAllocator {
         auto it = seqs_.find(seq_id);
         if (it == seqs_.end()) return -1;
         for (int32_t p : it->second.block_table) {
-            if (p >= 0 && --ref_count_[p] == 0) free_list_.push_back(p);
+            if (p >= 0 && --ref_count_[p] == 0) free_page(p);
         }
         seqs_.erase(it);
         return 0;
@@ -158,10 +165,41 @@ class PageAllocator {
     }
 
   private:
+    // Take a free page, preferring `want` (contiguity); -1 = any.
+    // Caller must hold mu_ and have checked free_count_ > 0.
+    int32_t take_page(int32_t want) {
+        if (want >= 0 &&
+            want < static_cast<int32_t>(is_free_.size()) &&
+            is_free_[want]) {
+            is_free_[want] = 0;       // stale free_list_ entry skipped later
+            --free_count_;
+            ref_count_[want] = 1;
+            return want;
+        }
+        while (true) {               // lazy-deletion pop
+            int32_t p = free_list_.back();
+            free_list_.pop_back();
+            if (is_free_[p]) {
+                is_free_[p] = 0;
+                --free_count_;
+                ref_count_[p] = 1;
+                return p;
+            }
+        }
+    }
+
+    void free_page(int32_t p) {
+        free_list_.push_back(p);
+        is_free_[p] = 1;
+        ++free_count_;
+    }
+
     const int32_t page_size_;
     mutable std::mutex mu_;
     std::vector<int32_t> free_list_;
     std::vector<int32_t> ref_count_;
+    std::vector<char> is_free_;
+    int32_t free_count_;
     std::unordered_map<int64_t, Sequence> seqs_;
 };
 

@@ -477,3 +477,132 @@ def test_union_pages_matches_per_head(rng):
     # differ from each other at that level
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+class TestCoalescedRuns:
+    """Run-coalesced multi-page DMA descriptors (_coalesce_runs): exact
+    vs per-page DMA and vs the oracle when physical pages are contiguous
+    (sequence-contiguous allocation + temporally-clustered selection —
+    the k<C descriptor-floor lever)."""
+
+    def _contig_case(self, rng, b=2, h_kv=2, g=4, max_page=24):
+        h_q = h_kv * g
+        num_pages = b * max_page + 4
+        q = rng.standard_normal((b, h_q, D)).astype(np.float32)
+        k = rng.standard_normal((h_kv, num_pages, PS, D)).astype(np.float32)
+        v = rng.standard_normal((h_kv, num_pages, PS, D)).astype(np.float32)
+        # physically CONTIGUOUS tables (what the allocator produces for a
+        # fresh sequence) → selected slot runs become physical pid runs
+        bt = np.stack([np.arange(max_page, dtype=np.int32) + i * max_page
+                       for i in range(b)])
+        seq = np.array([max_page * PS, 17 * PS + 9][:b], np.int32)
+        return q, k, v, bt, seq
+
+    def _run_positions(self, rng, b, h_pos, max_page, seq=None):
+        """Selections that contain long runs + isolated pages + ragged
+        tails (run lengths 1..11 exercise the {8,4,2,1} decomposition).
+        Honors the cent_select contract: slots stay < ceil(seq/PS)."""
+        m = max_page
+        positions = np.full((b, h_pos, m), INT32_SENTINEL, np.int32)
+        lens = np.zeros((b, h_pos), np.int32)
+        for bi in range(b):
+            hi = (m if seq is None
+                  else int(-(-int(seq[bi]) // PS)))
+            for hp in range(h_pos):
+                sel = set()
+                start = 0
+                for run in (1, 11, 2, 5, 3):
+                    s0 = start + rng.integers(0, 2)
+                    sel.update(range(s0, min(s0 + run, hi)))
+                    start = s0 + run + rng.integers(1, 3)
+                sel = sorted(x for x in sel if x < hi)
+                positions[bi, hp, :len(sel)] = sel
+                lens[bi, hp] = len(sel)
+        return positions, lens
+
+    @pytest.mark.parametrize("ppcb", [4, 8])
+    def test_per_head_runs_vs_oracle(self, rng, ppcb):
+        q, k, v, bt, seq = self._contig_case(rng)
+        h_kv, max_page = k.shape[0], bt.shape[1]
+        pos, lens = self._run_positions(rng, q.shape[0], h_kv, max_page,
+                                        seq)
+        got_c = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, pos, lens, page_size=PS, ppcb=ppcb,
+            coalesce=True))
+        got_p = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, pos, lens, page_size=PS, ppcb=ppcb,
+            coalesce=False))
+        want = oracles.sparse_paged_attention_oracle(
+            q, k, v, bt, pos, lens, seq, block_size=PS)
+        np.testing.assert_allclose(got_c, want, rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(got_c, got_p)
+
+    def test_shared_row_coalesce(self, rng):
+        q, k, v, bt, seq = self._contig_case(rng, b=1)
+        pos, lens = self._run_positions(rng, 1, 1, bt.shape[1], seq)
+        got = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, pos, lens, page_size=PS, coalesce=True))
+        want = oracles.sparse_paged_attention_oracle(
+            q, k, v, bt, pos, lens, seq, block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_dense_contiguous_coalesce(self, rng):
+        q, k, v, bt, seq = self._contig_case(rng)
+        got = np.asarray(paged_flash_decode(
+            q, k, v, bt, seq, page_size=PS, coalesce=True))
+        want = oracles.paged_attention_oracle(q, k, v, bt, seq,
+                                              block_size=PS)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_int8_per_token_runs(self, rng):
+        from cann_ops_adv_vllm_tpu.ops.quant import quantize_kv
+        import jax
+        q, k, v, bt, seq = self._contig_case(rng, h_kv=2)
+        h_kv, max_page = k.shape[0], bt.shape[1]
+        kv = np.asarray(fuse_kv(jnp.asarray(k), jnp.asarray(v)))
+        kv8, sc, off = jax.jit(
+            lambda a: quantize_kv(a, mode="per_token"))(jnp.asarray(kv))
+        scales = (sc[..., 0], off[..., 0], sc[..., 1], off[..., 1]) \
+            if sc.ndim == 4 else None
+        # per_token quantize_kv returns [H, P, ps] scales per half
+        if scales is None:
+            d2 = kv.shape[-1] // 2
+            scales = (sc, off, sc, off)
+        pos, lens = self._run_positions(rng, q.shape[0], h_kv, max_page,
+                                        seq)
+        got = np.asarray(paged_flash_decode(
+            q, kv8, None, bt, seq, pos, lens, kv_scales=scales,
+            page_size=PS, coalesce=True))
+        want = np.asarray(paged_flash_decode(
+            q, kv8, None, bt, seq, pos, lens, kv_scales=scales,
+            page_size=PS, coalesce=False))
+        np.testing.assert_array_equal(got, want)
+
+    def test_coalesce_plan_covers_exactly(self, rng):
+        """_coalesce_runs: descriptors tile each valid run exactly once."""
+        from cann_ops_adv_vllm_tpu.ops.paged_attention import (
+            _coalesce_runs,
+        )
+        b, h, m, ppcb = 2, 3, 64, 8
+        pids = jnp.asarray(rng.integers(0, 50, (b, h, m)), jnp.int32)
+        # inject runs
+        pids = pids.at[0, 0, 10:21].set(jnp.arange(100, 111))
+        begs = jnp.zeros((b, h, m), jnp.int32)
+        ends = jnp.asarray(rng.integers(0, 2, (b, h, m)) * PS, jnp.int32)
+        ends = ends.at[0, 0, 10:21].set(PS)
+        dlen = np.asarray(_coalesce_runs(pids, begs, ends, ppcb, 8))
+        valid = np.asarray(ends > begs)
+        cover = np.zeros((b, h, m), bool)
+        for bi in range(b):
+            for hi in range(h):
+                for i in range(m):
+                    L = dlen[bi, hi, i]
+                    if L:
+                        assert not cover[bi, hi, i:i + L].any()
+                        cover[bi, hi, i:i + L] = True
+                        assert i // ppcb == (i + L - 1) // ppcb
+                        p0 = np.asarray(pids)[bi, hi, i]
+                        np.testing.assert_array_equal(
+                            np.asarray(pids)[bi, hi, i:i + L],
+                            np.arange(p0, p0 + L))
+        np.testing.assert_array_equal(cover, valid)
