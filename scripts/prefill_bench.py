@@ -41,28 +41,31 @@ def time_prefill(step_chunk, params, cache0, bt, tokens, chunk, n_chunks):
             _, cache = step_chunk(params, tk[None], cache, bt, start,
                                   jnp.full((1,), chunk, jnp.int32))
             return cache
-        return jax.lax.fori_loop(0, n, body,
-                                 cache, unroll=False)
+        cache = jax.lax.fori_loop(0, n, body, cache, unroll=False)
+        # tiny fetched checksum: np.asarray on it is the dependable sync
+        # point through the axon tunnel (block_until_ready is not)
+        leaf = jax.tree.leaves(cache)[0]
+        return cache, leaf.reshape(-1)[:1].astype(jnp.float32)
 
     toks = jnp.asarray(tokens, jnp.int32)
     # warm both trip counts (0 = dispatch floor)
     cache = jax.tree.map(jnp.copy, cache0)
-    cache = run(params, toks, cache, bt, 0)
-    jax.block_until_ready(cache)
+    cache, s = run(params, toks, cache, bt, 0)
+    np.asarray(s)
     t0 = time.time()
-    cache = run(params, toks, cache, bt, 0)
-    jax.block_until_ready(cache)
+    cache, s = run(params, toks, cache, bt, 0)
+    np.asarray(s)
     disp = time.time() - t0
 
     cache = jax.tree.map(jnp.copy, cache0)
-    cache = run(params, toks, cache, bt, n_chunks)   # compile+warm
-    jax.block_until_ready(cache)
+    cache, s = run(params, toks, cache, bt, n_chunks)   # compile+warm
+    np.asarray(s)
     best = float("inf")
     for _ in range(2):
         cache = jax.tree.map(jnp.copy, cache0)
         t0 = time.time()
-        cache = run(params, toks, cache, bt, n_chunks)
-        jax.block_until_ready(cache)
+        cache, s = run(params, toks, cache, bt, n_chunks)
+        np.asarray(s)
         best = min(best, time.time() - t0)
     return max(best - disp, 1e-9), disp
 

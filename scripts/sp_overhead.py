@@ -84,23 +84,29 @@ def main_tpu():
     attend = sp_sparse_attention(mesh, page_size=ps)
 
     def slope(fn, n1=50, n2=250):
+        # kv/tables are explicit jit operands — closed-over arrays are
+        # baked into the program as constants (the 0.5 GB pool would
+        # exceed the remote-compile transport)
         @functools.partial(jax.jit, static_argnames=("n",))
-        def chain(qq, n):
+        def chain(qq, kv, bt, seq, pos, plens, n):
             return jax.lax.fori_loop(
-                0, n, lambda i, acc: acc + fn(acc).astype(acc.dtype)
+                0, n, lambda i, acc: acc
+                + fn(acc, kv, bt, seq, pos, plens).astype(acc.dtype)
                 * jnp.bfloat16(1e-6), qq)
+        args = (kv, bt, seq, positions, plens)
         for n in (n1, n2):
-            np.asarray(chain(q, n))
+            np.asarray(chain(q, *args, n))
         best = {}
         for n in (n1, n2, n1, n2):
             t0 = time.perf_counter()
-            np.asarray(chain(q, n))
+            np.asarray(chain(q, *args, n))
             best[n] = min(best.get(n, 1e9), time.perf_counter() - t0)
         return (best[n2] - best[n1]) / (n2 - n1)
 
-    t_sp = slope(lambda qq: attend(qq, kv, bt, seq, positions, plens))
-    t_plain = slope(lambda qq: paged_flash_decode(
-        qq, kv, None, bt, seq, positions, plens, page_size=ps))
+    t_sp = slope(lambda qq, kv, bt, seq, pos, plens: attend(
+        qq, kv, bt, seq, pos, plens))
+    t_plain = slope(lambda qq, kv, bt, seq, pos, plens: paged_flash_decode(
+        qq, kv, None, bt, seq, pos, plens, page_size=ps))
     print(json.dumps({
         "mode": "tpu sp=1 overhead (canonical 128K per-head sparse)",
         "sp1_step_ms": round(t_sp * 1e3, 4),
