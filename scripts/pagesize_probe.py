@@ -36,18 +36,21 @@ B, HKV, G, D, CTX = 1, 8, 4, 128, 128 * 1024
 HQ = HKV * G
 
 
-def slope(fn, q, n1=100, n2=500):
+def slope(fn, q, args, n1=100, n2=500):
+    """Two-length chain slope; ``args`` are explicit jit operands (a
+    closed-over page pool would be baked into the program as a constant
+    and exceed the remote-compile transport)."""
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(qq, n):
+    def chain(qq, args, n):
         return jax.lax.fori_loop(
-            0, n, lambda i, acc: acc + fn(acc).astype(acc.dtype)
+            0, n, lambda i, acc: acc + fn(acc, *args).astype(acc.dtype)
             * jnp.bfloat16(1e-6), qq)
     for n in (n1, n2):
-        np.asarray(chain(q, n))
+        np.asarray(chain(q, args, n))
     best = {}
     for n in (n1, n2, n1, n2):
         t0 = time.time()
-        np.asarray(chain(q, n))
+        np.asarray(chain(q, args, n))
         best[n] = min(best.get(n, 1e9), time.time() - t0)
     return (best[n2] - best[n1]) / (n2 - n1)
 
@@ -80,9 +83,11 @@ def main():
         pos = jnp.asarray(pos)
         lens = jnp.full((B, HKV), cap, jnp.int32)
 
-        t = slope(lambda qq: paged_flash_decode(
-            qq, kv8, None, bt, seq, pos, lens, kv_scales=scales,
-            page_size=ps))
+        t = slope(
+            lambda qq, kv8, bt, seq, pos, lens, *sc: paged_flash_decode(
+                qq, kv8, None, bt, seq, pos, lens, kv_scales=sc,
+                page_size=ps),
+            q, (kv8, bt, seq, pos, lens) + scales)
         rows.append({
             "page_size": ps, "pages_per_head": cap,
             "descriptors_per_step": HKV * cap,

@@ -49,7 +49,7 @@ from cann_ops_adv_vllm_tpu.ops.clustering import (
 )
 
 C = 512
-PS = 128
+PS = 128          # default; override with --page-size
 
 
 def build_cfg(args, *, k=None):
@@ -60,7 +60,8 @@ def build_cfg(args, *, k=None):
         kv_cache_dtype="int8",
         num_centroids=0 if k is None else C,
         top_k_clusters=k or C,
-        max_page_num=args.ctx // PS,
+        page_size=args.page_size,
+        max_page_num=args.ctx // args.page_size,
         workload_cap_ratio=8,
     )
 
@@ -260,6 +261,7 @@ def main():
     ap.add_argument("--decode", type=int, default=64)
     ap.add_argument("--ks", default="64,128")
     ap.add_argument("--sample-pages", type=int, default=256)
+    ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--out", default="docs/evidence/sparse_quality.jsonl")
     args = ap.parse_args()
     ks = [int(x) for x in args.ks.split(",")]
@@ -267,7 +269,7 @@ def main():
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, 31000, args.ctx - args.decode - 8,
                           dtype=np.int32)
-    max_page = args.ctx // PS
+    max_page = args.ctx // args.page_size
     num_pages = max_page + 8
     bt = jnp.asarray(np.arange(max_page, dtype=np.int32)[None])
 
@@ -327,6 +329,7 @@ def main():
             row["selected_pages_mean"] = round(
                 float(np.asarray(nsel).mean()), 1)
             row["cap_pages"] = max_page // 8 + 3
+            row["page_size"] = args.page_size
             # run-length structure of the selection (contiguous tables →
             # physical runs == slot runs): the mean run length bounds the
             # gain any DMA-run-coalescing scheme could deliver
