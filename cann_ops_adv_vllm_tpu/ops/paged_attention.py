@@ -1365,6 +1365,19 @@ def paged_flash_decode(
         else:
             tok_scales = None
 
+    if token_quant and page_size > 128 and not (
+            interpret if interpret is not None
+            else jax.default_backend() == "cpu"):
+        # Mosaic rejects the per-token scale-page DMA when ps spans more
+        # than one lane tile (size-1 sublane slice of a [..., P, ps>128]
+        # operand); per-channel scales and ps=128 (the engine default)
+        # are unaffected.  Fail with guidance instead of a compiler
+        # internal error.
+        raise ValueError(
+            "per-token kv_scales require page_size <= 128 on TPU "
+            "(scale-page slab DMA tiling); use per-channel scales or "
+            "page_size=128")
+
     use_alibi = alibi_slopes is not None
     if use_alibi:
         slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(h_kv, g)

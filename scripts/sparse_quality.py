@@ -57,7 +57,7 @@ def build_cfg(args, *, k=None):
         llama.LLAMA_2_7B,
         num_layers=args.layers,
         num_kv_heads=8,
-        kv_cache_dtype="int8",
+        kv_cache_dtype="int8" if args.page_size <= 128 else "auto",
         num_centroids=0 if k is None else C,
         top_k_clusters=k or C,
         page_size=args.page_size,
@@ -105,12 +105,21 @@ def _layer_codebook(kv_l, ts_l, *, sample_pages, n_clusters):
 
 
 def build_codebooks(cache, sample_pages):
+    from cann_ops_adv_vllm_tpu.ops.clustering import build_index
     cents, bids = [], []
-    for li in range(cache["kv"].shape[0]):
-        c, b = _layer_codebook(cache["kv"][li], cache["ts"][li],
-                               sample_pages=sample_pages, n_clusters=C)
-        cents.append(c)
-        bids.append(b)
+    if isinstance(cache, dict):
+        for li in range(cache["kv"].shape[0]):
+            c, b = _layer_codebook(cache["kv"][li], cache["ts"][li],
+                                   sample_pages=sample_pages,
+                                   n_clusters=C)
+            cents.append(c)
+            bids.append(b)
+    else:
+        for li in range(cache.shape[0]):
+            c, b = build_index(cache[li], C,
+                               sample_pages=sample_pages, iters=10)
+            cents.append(c)
+            bids.append(b)
     return jnp.stack(cents), jnp.stack(bids)
 
 
@@ -165,7 +174,9 @@ def make_recall_probe(cfg, k):
         b = tok.shape[0]
         pos = seq.astype(jnp.int32) - 1
         x = params["embed"][tok].astype(cfg.dtype)
-        kv, ts = cache["kv"], cache["ts"]
+        quantized = isinstance(cache, dict)
+        kv = cache["kv"] if quantized else cache
+        ts = cache["ts"] if quantized else None
         num_pages = kv.shape[2]
         max_page = bt.shape[1]
         recalls, nsel, sel_out = [], [], []
@@ -180,8 +191,12 @@ def make_recall_probe(cfg, k):
                 group_mode="kv_group")
             plen_h = plen[..., 0]                       # [B, H_kv]
             # dense softmax mass per page: dequantized K of every page
-            kd = (kv[li, :, :, :, :d].astype(jnp.float32)
-                  * ts[li, :, 0, :, :, None] + ts[li, :, 1, :, :, None])
+            if quantized:
+                kd = (kv[li, :, :, :, :d].astype(jnp.float32)
+                      * ts[li, :, 0, :, :, None]
+                      + ts[li, :, 1, :, :, None])
+            else:
+                kd = kv[li, :, :, :, :d].astype(jnp.float32)
             kd = kd.reshape(cfg.num_kv_heads, num_pages * cfg.page_size, d)
             qg = q.reshape(b, cfg.num_kv_heads, -1, d).astype(jnp.float32)
             s = jnp.einsum("bhgd,hnd->bhgn", qg, kd) / jnp.sqrt(1.0 * d)
