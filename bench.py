@@ -139,11 +139,12 @@ def main():
                 HKV * max_page * PS * 2 * D * 1 / t_dense8 / 1e9, 1),
             "timing": "two-length chain slope (dispatch-floor exact-"
                       "subtracted), best-of-2 per length",
-            "model_level_evidence": "docs/evidence/model_bench_config4_"
-                                    "*.jsonl (BASELINE config-4 e2e "
-                                    "through the engine: in-place cache "
-                                    "+ int8 weights), docs/SWEEP_v5e.md "
-                                    "(full grid: >=2x holds everywhere)",
+            "model_level_evidence": "docs/evidence/model_bench_L4_128k_"
+                                    "b4_w8.jsonl (128K model-level: "
+                                    "2.11x at B=4), docs/SWEEP_v5e.md "
+                                    "(full grid: >=2x holds everywhere),"
+                                    " docs/SPARSE_QUALITY.md (k<C "
+                                    "quality + latency)",
         },
     }))
 

@@ -137,6 +137,29 @@ want = paged_flash_decode(q, kv, None, bt, sl, pos_s[:, :h_kv],
                           interpret=False)
 check("fused shared-row (k=C)", float(jnp.abs(out_f - want).max()), 2e-5)
 
+# --- run-coalesced multi-page DMA descriptors (opt-in): exact vs
+# --- per-page DMA on contiguous physical tables with mixed run lengths
+bt_c = jnp.stack([jnp.arange(16, dtype=jnp.int32),
+                  16 + jnp.arange(16, dtype=jnp.int32)])
+sl_c = jnp.asarray([16 * ps, 11 * ps + 7], jnp.int32)
+import numpy as _np
+from cann_ops_adv_vllm_tpu.config import INT32_SENTINEL
+pos_c = _np.full((2, h_kv, 16), INT32_SENTINEL, _np.int32)
+len_c = _np.zeros((2, h_kv), _np.int32)
+for bi2 in range(2):
+    hi2 = -(-int(sl_c[bi2]) // ps)
+    for h2 in range(h_kv):
+        sel2 = sorted(set([0] + list(range(2, min(2 + 9, hi2)))
+                          + [hi2 - 1]))
+        pos_c[bi2, h2, :len(sel2)] = sel2
+        len_c[bi2, h2] = len(sel2)
+pos_c, len_c = jnp.asarray(pos_c), jnp.asarray(len_c)
+o_co = paged_flash_decode(q, kv, None, bt_c, sl_c, pos_c, len_c,
+                          page_size=ps, coalesce=True, interpret=False)
+o_pp = paged_flash_decode(q, kv, None, bt_c, sl_c, pos_c, len_c,
+                          page_size=ps, coalesce=False, interpret=False)
+check("coalesced-run DMA exact", float(jnp.abs(o_co - o_pp).max()), 1e-12)
+
 # --- int8 KV cache through the model decode step (per-token online) ---
 import dataclasses  # noqa: E402
 from cann_ops_adv_vllm_tpu.models import llama  # noqa: E402
