@@ -77,6 +77,19 @@ class LlamaAdapter:
                 kv_cache["kv"], kv_cache["ts"], cents)
         return jax.vmap(assign_pages)(kv_cache, cents)
 
+    def copy_page(self, cache, src, dst):
+        """Copy physical page ``src`` → ``dst`` across all layers/heads
+        (the device half of the allocator's copy-on-write: a forked
+        sequence's shared partial last page is duplicated before its
+        first write)."""
+        if isinstance(cache, dict):
+            return {
+                "kv": cache["kv"].at[:, :, dst].set(cache["kv"][:, :, src]),
+                "ts": cache["ts"].at[:, :, :, dst].set(
+                    cache["ts"][:, :, :, src]),
+            }
+        return cache.at[:, :, dst].set(cache[:, :, src])
+
     # -- mesh-sharded serving hooks (ShardedDecodeEngine) --------------------
 
     def is_quantized(self, params):
@@ -152,6 +165,10 @@ class DeepSeekAdapter:
         # row as "K"
         from ..ops.clustering import assign_pages
         return jax.vmap(assign_pages)(cache, cents)
+
+    def copy_page(self, cache, src, dst):
+        """Latent-cache page copy (see LlamaAdapter.copy_page)."""
+        return cache.at[:, :, dst].set(cache[:, :, src])
 
     # -- mesh-sharded serving hooks (ShardedDecodeEngine) --------------------
 

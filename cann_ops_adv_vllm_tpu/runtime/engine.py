@@ -113,7 +113,8 @@ class DecodeEngine:
                  log_interval: int = 0,
                  centroid_refresh_interval: int = 32,
                  scan_layers: bool = False,
-                 adapter=None):
+                 adapter=None,
+                 system_prefix=None):
         self.cfg = cfg
         #: model binding: cache layout + jitted step functions
         #: (runtime.adapters; default = Llama family).  Pass
@@ -175,6 +176,30 @@ class DecodeEngine:
         self._bt_pages = np.full((max_batch,), -1, np.int64)
         self.stats = EngineStats()
         self.log_interval = log_interval
+        #: shared system prefix (vLLM-style prompt caching): the prefix
+        #: is prefilled ONCE into a template sequence; every admitted
+        #: request FORKS the template's ref-counted pages (native
+        #: allocator fork) and, when the prefix ends mid-page,
+        #: copy-on-writes that one page before its first write
+        #: (ensure_writable_last + adapter.copy_page).  Requests'
+        #: ``prompt`` then carries only the user part.  This is the
+        #: paged-COW realization of the reference's shared-prefix
+        #: two-pass attention (ops/prefix.py is the op-level one).
+        self._prefix_len = 0
+        #: template id: large positive (the ctypes ABI returns the id on
+        #: success, so negative ids would collide with its -1 error code)
+        self._TEMPLATE = (1 << 62) + 41
+        if system_prefix is not None and len(system_prefix):
+            if self._prefill is None:
+                raise ValueError(
+                    "system_prefix requires chunked prefill "
+                    "(prefill_chunk > 1)")
+            self._prefix_tokens = np.asarray(system_prefix, np.int32)
+            self._prefix_len = int(len(self._prefix_tokens))
+            self._copy_page_jit = jax.jit(
+                lambda c, src, dst: self.adapter.copy_page(c, src, dst),
+                donate_argnums=(0,))
+            self._ingest_system_prefix()
 
     # -- overridable builders (ShardedDecodeEngine swaps in mesh-sharded
     # -- state and shard_map step functions; the host-side scheduling
@@ -204,28 +229,74 @@ class DecodeEngine:
     def add_request(self, req: Request):
         self.waiting.append(req)
 
+    def _ingest_system_prefix(self):
+        """Prefill the shared prefix once into the template sequence."""
+        sp = self._prefix_tokens
+        self.allocator.create_seq(self._TEMPLATE)
+        chunk = self.prefill_chunk
+        bt = np.zeros((self.max_batch, self.max_page), np.int32)
+        for s0 in range(0, len(sp), chunk):
+            m = min(chunk, len(sp) - s0)
+            self.allocator.append_tokens(self._TEMPLATE, m)
+            bt[0] = self.allocator.block_table(
+                self._TEMPLATE, self.max_page, pad_value=0)
+            self._pf_tokens[:] = 0
+            self._pf_tokens[0, :m] = sp[s0:s0 + m]
+            self._pf_start[:] = 0
+            self._pf_start[0] = s0
+            self._pf_valid[:] = 0
+            self._pf_valid[0] = m
+            _, self.kv_cache = self._prefill(
+                self.params, self._dev(self._pf_tokens), self.kv_cache,
+                self._dev(bt), self._dev(self._pf_start),
+                self._dev(self._pf_valid))
+        # prefix pages are fully written: assign their centroids before
+        # any request's first selection
+        self._maybe_refresh_block_ids(force=True)
+
+    def _pages_needed(self, req: Request) -> int:
+        """NEW pages a request will consume over its lifetime (whole
+        shared prefix pages are free; a partial shared page costs one
+        copy-on-write page)."""
+        ps = self.cfg.page_size
+        total = self._prefix_len + len(req.prompt) + req.max_new_tokens
+        return (total + ps - 1) // ps - self._prefix_len // ps
+
+    def _create_seq_for(self, req: Request):
+        if not self._prefix_len:
+            self.allocator.create_seq(req.seq_id)
+            return
+        self.allocator.fork(self._TEMPLATE, req.seq_id)
+        if self._prefix_len % self.cfg.page_size:
+            # the template's last page is partial: give this request its
+            # own writable copy before any of its tokens land there
+            dst, src = self.allocator.ensure_writable_last(req.seq_id)
+            if dst != src:
+                self.kv_cache = self._copy_page_jit(
+                    self.kv_cache, jnp.asarray(src, jnp.int32),
+                    jnp.asarray(dst, jnp.int32))
+
     def _admit(self):
         # worst-case pages already promised to running sequences
         reserved = 0
+        ps = self.cfg.page_size
         for seq_id in self.running:
             req = self.running[seq_id]
-            total = len(req.prompt) + req.max_new_tokens
-            needed = (total + self.cfg.page_size - 1) // self.cfg.page_size
-            have = (self.allocator.num_tokens(seq_id)
-                    + self.cfg.page_size - 1) // self.cfg.page_size
+            total = self._prefix_len + len(req.prompt) + req.max_new_tokens
+            needed = (total + ps - 1) // ps
+            have = (self.allocator.num_tokens(seq_id) + ps - 1) // ps
             reserved += max(needed - have, 0)
         available = self.allocator.num_free_pages - reserved
         for i, slot in enumerate(self.slots):
             if slot is not None or not self.waiting:
                 continue
             req = self.waiting[0]
-            needed = (len(req.prompt) + req.max_new_tokens
-                      + self.cfg.page_size - 1) // self.cfg.page_size
+            needed = self._pages_needed(req)
             if needed > available:
                 break
             available -= needed
             self.waiting.popleft()
-            self.allocator.create_seq(req.seq_id)
+            self._create_seq_for(req)
             self._place(i, req)
 
     def _place(self, i: int, req: Request):
@@ -378,7 +449,7 @@ class DecodeEngine:
             cur = self._prefill_cursor[seq_id]
             n = min(self.prefill_chunk, len(req.prompt) - cur)
             self._pf_tokens[i, :n] = req.prompt[cur:cur + n]
-            self._pf_start[i] = cur
+            self._pf_start[i] = self._prefix_len + cur
             self._pf_valid[i] = n
             self._temps[i] = req.temperature
             self._top_ks[i] = req.top_k
