@@ -81,14 +81,20 @@ class LlamaAdapter:
         """Copy physical page ``src`` → ``dst`` across all layers/heads
         (the device half of the allocator's copy-on-write: a forked
         sequence's shared partial last page is duplicated before its
-        first write)."""
+        first write).  An out-of-range ``dst`` drops the write — the
+        sharded engine uses that to no-op replicas with nothing to COW
+        this tick."""
         if isinstance(cache, dict):
             return {
-                "kv": cache["kv"].at[:, :, dst].set(cache["kv"][:, :, src]),
+                "kv": cache["kv"].at[:, :, dst].set(
+                    cache["kv"][:, :, jnp.clip(src, 0, None)],
+                    mode="drop"),
                 "ts": cache["ts"].at[:, :, :, dst].set(
-                    cache["ts"][:, :, :, src]),
+                    cache["ts"][:, :, :, jnp.clip(src, 0, None)],
+                    mode="drop"),
             }
-        return cache.at[:, :, dst].set(cache[:, :, src])
+        return cache.at[:, :, dst].set(
+            cache[:, :, jnp.clip(src, 0, None)], mode="drop")
 
     # -- mesh-sharded serving hooks (ShardedDecodeEngine) --------------------
 
@@ -168,7 +174,8 @@ class DeepSeekAdapter:
 
     def copy_page(self, cache, src, dst):
         """Latent-cache page copy (see LlamaAdapter.copy_page)."""
-        return cache.at[:, :, dst].set(cache[:, :, src])
+        return cache.at[:, :, dst].set(
+            cache[:, :, jnp.clip(src, 0, None)], mode="drop")
 
     # -- mesh-sharded serving hooks (ShardedDecodeEngine) --------------------
 

@@ -73,6 +73,18 @@ class _ReplicaPools:
                 "admitted here (cross-process scheduling divergence)"
             ) from None
 
+    def fork(self, parent_id: int, child_id: int):
+        """Fork within the parent's replica pool (COW prefix sharing)."""
+        r = self._of[parent_id]
+        self.allocs[r].fork(parent_id, child_id)
+        self._of[child_id] = r
+
+    def ensure_writable_last(self, seq_id: int):
+        return self._alloc_of(seq_id).ensure_writable_last(seq_id)
+
+    def replica_of(self, seq_id: int) -> int:
+        return self._of[seq_id]
+
     def append_tokens(self, seq_id: int, n: int = 1) -> int:
         return self._alloc_of(seq_id).append_tokens(seq_id, n)
 
@@ -114,7 +126,8 @@ class ShardedDecodeEngine(DecodeEngine):
                  int, mesh, *, max_batch: int = 8, max_page=None,
                  sample_fn=None, seed: int = 0, prefill_chunk=None,
                  log_interval: int = 0, centroid_refresh_interval: int = 32,
-                 scan_layers: bool = False, adapter=None):
+                 scan_layers: bool = False, adapter=None,
+                 system_prefix=None):
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
         self.tp = mesh.shape["tp"]
@@ -150,7 +163,8 @@ class ShardedDecodeEngine(DecodeEngine):
                          prefill_chunk=prefill_chunk,
                          log_interval=log_interval,
                          centroid_refresh_interval=centroid_refresh_interval,
-                         scan_layers=scan_layers, adapter=adapter)
+                         scan_layers=scan_layers, adapter=adapter,
+                         system_prefix=None)   # ingested below, sharded
         # re-shard params globally (base stacked them host-side if scan)
         self.params = self._shard_params_global(self.params)
         if self._cents is not None:
@@ -161,6 +175,15 @@ class ShardedDecodeEngine(DecodeEngine):
             self._refresh_jit = jax.jit(self.adapter.assign_block_ids,
                                         out_shardings=bids_sh)
         self._sampler_jit = jax.jit(self._sampler_body)
+        if system_prefix is not None and len(system_prefix):
+            if self._prefill is None:
+                raise ValueError(
+                    "system_prefix requires chunked prefill "
+                    "(prefill_chunk > 1)")
+            self._prefix_tokens = np.asarray(system_prefix, np.int32)
+            self._prefix_len = int(len(self._prefix_tokens))
+            self._copy_page_sharded = self._build_copy_page()
+            self._ingest_system_prefix()
 
     # -- builders ------------------------------------------------------------
 
@@ -253,6 +276,78 @@ class ShardedDecodeEngine(DecodeEngine):
             out[sh.index[0]] = np.asarray(sh.data)
         return out[self._lane_offset:self._lane_offset + self.max_batch]
 
+    # -- system-prefix caching (per-replica templates) ------------------------
+
+    def _build_copy_page(self):
+        """shard_map page copy with PER-REPLICA (src, dst) local page
+        ids; a replica with nothing to COW this tick passes an
+        out-of-range dst (the adapter's copy drops it)."""
+        import functools
+
+        cspec = self.adapter.cache_spec()
+        adapter = self.adapter
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(cspec, P("dp"), P("dp")), out_specs=cspec,
+            check_vma=False)
+        def cp(cache, src, dst):
+            return adapter.copy_page(cache, src[0], dst[0])
+
+        return jax.jit(cp, donate_argnums=(0,))
+
+    def _template_id(self, replica: int) -> int:
+        return self._TEMPLATE + replica
+
+    def _ingest_system_prefix(self):
+        """Prefill the shared prefix ONCE into every dp replica's
+        private pool: one template sequence per replica, all written by
+        the same global prefill calls (one active lane per replica)."""
+        sp = self._prefix_tokens
+        for r in range(self.dp_local):
+            self.allocator.create_seq(self._template_id(r), r)
+        chunk = self.prefill_chunk
+        bt = np.zeros((self.max_batch, self.max_page), np.int32)
+        for s0 in range(0, len(sp), chunk):
+            m = min(chunk, len(sp) - s0)
+            self._pf_tokens[:] = 0
+            self._pf_start[:] = 0
+            self._pf_valid[:] = 0
+            for r in range(self.dp_local):
+                tid = self._template_id(r)
+                self.allocator.append_tokens(tid, m)
+                lane = r * self.lanes_per_replica
+                bt[lane] = self.allocator.block_table(
+                    tid, self.max_page, pad_value=0)
+                self._pf_tokens[lane, :m] = sp[s0:s0 + m]
+                self._pf_start[lane] = s0
+                self._pf_valid[lane] = m
+            _, self.kv_cache = self._prefill(
+                self.params, self._dev(self._pf_tokens), self.kv_cache,
+                self._dev(bt), self._dev(self._pf_start),
+                self._dev(self._pf_valid))
+        self._maybe_refresh_block_ids(force=True)
+
+    def _create_seq_for_replica(self, req, replica: int):
+        if not self._prefix_len:
+            self.allocator.create_seq(req.seq_id, replica)
+            return
+        self.allocator.fork(self._template_id(replica), req.seq_id)
+        if self._prefix_len % self.cfg.page_size:
+            dst, src = self.allocator.ensure_writable_last(req.seq_id)
+            if dst != src:
+                # per-replica (src, dst) LOCAL page ids; every other
+                # replica gets an out-of-range dst → its copy is dropped
+                # (_dev builds the dp-sharded global from this process's
+                # local [dp_local] part)
+                s_arr = np.full((self.dp_local,), -1, np.int32)
+                d_arr = np.full((self.dp_local,),
+                                self.allocator.allocs[0].num_pages,
+                                np.int32)
+                s_arr[replica], d_arr[replica] = src, dst
+                self.kv_cache = self._copy_page_sharded(
+                    self.kv_cache, self._dev(s_arr), self._dev(d_arr))
+
     # -- centroid maintenance ------------------------------------------------
 
     def refresh_block_ids(self):
@@ -273,7 +368,7 @@ class ShardedDecodeEngine(DecodeEngine):
             if sid is None:
                 continue
             req = self.running[sid]
-            total = len(req.prompt) + req.max_new_tokens
+            total = self._prefix_len + len(req.prompt) + req.max_new_tokens
             needed = (total + ps - 1) // ps
             have = (self.allocator.num_tokens(sid) + ps - 1) // ps
             avail[i // self.lanes_per_replica] -= max(needed - have, 0)
@@ -282,12 +377,12 @@ class ShardedDecodeEngine(DecodeEngine):
                 continue
             r = i // self.lanes_per_replica
             req = self.waiting[0]
-            needed = (len(req.prompt) + req.max_new_tokens + ps - 1) // ps
+            needed = self._pages_needed(req)
             if needed > avail[r]:
                 continue        # other replicas' lanes may still have room
             avail[r] -= needed
             self.waiting.popleft()
-            self.allocator.create_seq(req.seq_id, r)
+            self._create_seq_for_replica(req, r)
             self._place(i, req)
 
     def _agree_any_finishing(self, flag: bool) -> bool:

@@ -178,3 +178,32 @@ def test_sharded_engine_deepseek_sparse_scan():
                              adapter=DeepSeekAdapter(cfg)),
                 reqs(np.random.default_rng(12)))
     assert got == want
+
+
+def test_sharded_engine_system_prefix():
+    """Shared system prompt across the dp×tp engine: per-replica
+    templates + fork + shard_map COW — token-exact vs the sharded engine
+    fed full [prefix || user] prompts (non-page-aligned prefix)."""
+    rng_p = np.random.default_rng(20)
+    params = llama.init_params(CFG, jax.random.key(20))
+    mesh = make_mesh(dp=2, tp=2)
+    prefix = rng_p.integers(1, CFG.vocab_size, 37).astype(np.int32)
+    users = [rng_p.integers(1, CFG.vocab_size, n).astype(np.int32)
+             for n in (5, 19, 11)]
+
+    def serve(system_prefix, prompts):
+        eng = ShardedDecodeEngine(CFG, params, pages_per_replica=32,
+                                  mesh=mesh, max_batch=2, max_page=12,
+                                  prefill_chunk=PS,
+                                  system_prefix=system_prefix)
+        reqs = [Request(seq_id=i, prompt=p, max_new_tokens=5)
+                for i, p in enumerate(prompts)]
+        for r in reqs:
+            eng.add_request(r)
+        eng.run(max_steps=400)
+        return [list(r.generated) for r in reqs]
+
+    got = serve(prefix, users)
+    want = serve(None, [np.concatenate([prefix, u]) for u in users])
+    assert got == want
+    assert all(len(g) == 5 for g in got)
